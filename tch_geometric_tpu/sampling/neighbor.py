@@ -1,0 +1,329 @@
+"""Layer-wise neighbor sampling (GraphSAGE-style), homogeneous.
+
+TPU-native re-design of ``neighbor_sampling_homogenous``
+(/root/reference/src/algo/neighbor_sampling.rs:162-230).  The reference walks
+the frontier node-by-node, filtering and reservoir-sampling each in-edge list
+and growing Vec outputs; every accepted edge appends a NEW node (sampled
+tree, no dedup — rs:210-218).
+
+Here the whole multi-hop expansion is one fixed-shape jitted program:
+
+* Layer capacities are static: ``cap[0] = num_seeds``,
+  ``cap[l+1] = cap[l] * fanout[l]``.  Hop ``l`` writes exactly
+  ``cap[l] * fanout[l]`` node/edge slots, each carrying a validity bit —
+  the padded-to-fanout masks of SURVEY §7.1(2).
+* Because every edge slot's appended-node position is statically known
+  (``slot = layer_base + i * k + s``), the local-index COO (rows, cols) is
+  produced directly — the reference's incremental ``CooGraphBuilder``
+  disappears entirely.
+* Per-path filter state (``SamplingFilter::mutate`` chains, rs:14-20) is a
+  carried array aligned with the node slots.
+* The per-node choose-k is one of the three batched engines in
+  ``primitives.py`` picked statically from the sampler/filter config —
+  mirroring the reference's const-generic monomorphisation
+  (src/python.rs:170-185) as jit specialisation.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..data.graph import CscGraph
+from ..utils.config import (
+    TEMPORAL_SAMPLE_DYNAMIC,
+    TEMPORAL_SAMPLE_RELATIVE,
+    TEMPORAL_SAMPLE_STATIC,
+    EdgeSampler,
+    TemporalEdgeFilter,
+    UniformEdgeSampler,
+    WeightedEdgeSampler,
+)
+from . import primitives, rng
+
+
+@struct.dataclass
+class NeighborSample:
+    """Padded multi-hop sample (device pytree).
+
+    ``nodes[:num_seeds]`` are the seeds; hop ``l`` occupies the static slot
+    range ``[node_base[l+1], node_base[l+2])``.  ``rows``/``cols`` are LOCAL
+    slot indices (tree-local ids), ``eptr`` the global sorted-CSC edge ptr —
+    the same triple the reference's COO builder emits (graph.rs:142-146).
+    """
+
+    nodes: jax.Array        # (N_total,) node ids (garbage where ~node_valid)
+    node_valid: jax.Array   # (N_total,) bool
+    node_state: jax.Array   # (N_total,) int64 filter state (timestamps)
+    rows: jax.Array         # (E_total,) int32 local src slot
+    cols: jax.Array         # (E_total,) int32 local dst slot
+    eptr: jax.Array         # (E_total,) int32 global edge ptr
+    edge_valid: jax.Array   # (E_total,) bool
+    node_base: Tuple[int, ...] = struct.field(pytree_node=False)
+    edge_base: Tuple[int, ...] = struct.field(pytree_node=False)
+    fanouts: Tuple[int, ...] = struct.field(pytree_node=False)
+
+    @property
+    def num_hops(self) -> int:
+        return len(self.fanouts)
+
+
+def _layer_layout(num_seeds: int, fanouts: Sequence[int]):
+    node_base = [0, num_seeds]
+    edge_base = [0]
+    for k in fanouts:
+        cap = node_base[-1] - node_base[-2]
+        edge_base.append(edge_base[-1] + cap * k)
+        node_base.append(node_base[-1] + cap * k)
+    return tuple(node_base), tuple(edge_base)
+
+
+def _filter_mask_fn(filter_cfg, timestamps, state):
+    """Build mask_at(eptr)->bool closure for the current frontier.
+
+    Implements TemporalFilter::filter (neighbor_sampling.rs:55-67):
+    STATIC: window contains ts[e]; RELATIVE/DYNAMIC: window contains
+    +-(ts[e] - state). Window inclusive on both ends."""
+    lo, hi = filter_cfg.window
+
+    def mask_at(eptr):
+        t = timestamps[eptr]
+        if filter_cfg.mode == TEMPORAL_SAMPLE_STATIC:
+            d = t
+        else:
+            d = t - state[..., None]
+            if not filter_cfg.forward:
+                d = -d
+        return jnp.logical_and(d >= lo, d <= hi)
+
+    return mask_at
+
+
+def _sample_one_hop(
+    key,
+    graph: CscGraph,
+    frontier,
+    frontier_valid,
+    frontier_state,
+    k: int,
+    *,
+    with_replacement: bool,
+    log_weights,       # (E,) or None
+    filter_cfg,        # TemporalEdgeFilter or None (static python value)
+    timestamps,        # (E,) or None
+    window: int,
+):
+    """Sample <=k in-edges for each frontier node. Returns
+    (eptr (B,k), neighbor (B,k), valid (B,k), new_state (B,k))."""
+    starts, ends = graph.neighbors_range(jnp.clip(frontier, 0, graph.num_ptr_nodes - 1))
+    degs = jnp.where(frontier_valid, ends - starts, 0)
+
+    mask_at = None
+    if filter_cfg is not None:
+        mask_at = _filter_mask_fn(filter_cfg, timestamps, frontier_state)
+    logw_at = None
+    if log_weights is not None:
+        logw_at = lambda eptr: log_weights[eptr]
+
+    if mask_at is None and logw_at is None:
+        if with_replacement:
+            pos, valid = primitives.replacement_positions(key, degs, k)
+        else:
+            pos, valid = primitives.floyd_sample(key, degs, k)
+    else:
+        engine = (primitives.window_choice_sample if with_replacement
+                  else primitives.window_topk_sample)
+        pos, valid = engine(
+            key, starts, degs, k,
+            max_degree=graph.max_degree, num_edges=graph.num_edges,
+            logw_at=logw_at, mask_at=mask_at, window=window)
+
+    eptr = jnp.clip(starts[..., None] + pos, 0, max(graph.num_edges - 1, 0))
+    neighbor = graph.gather_neighbors(eptr)
+
+    # State propagation (TemporalFilter::mutate, rs:69-76).
+    if filter_cfg is not None and filter_cfg.mode == TEMPORAL_SAMPLE_DYNAMIC:
+        new_state = timestamps[eptr]
+    else:
+        new_state = jnp.broadcast_to(frontier_state[..., None], eptr.shape)
+    return eptr, neighbor, valid, new_state
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fanouts", "with_replacement", "filter_static", "window"),
+)
+def _sample_neighbors_impl(
+    key,
+    graph: CscGraph,
+    inputs,            # (n0,) node ids
+    input_state,       # (n0,) int64
+    log_weights,       # (E,) f32 or None
+    timestamps,        # (E,) i64 or None
+    fanouts: Tuple[int, ...],
+    with_replacement: bool,
+    filter_static,     # hashable (window, forward, mode) or None
+    window: int,
+) -> NeighborSample:
+    num_seeds = inputs.shape[0]
+    node_base, edge_base = _layer_layout(num_seeds, fanouts)
+
+    filter_cfg = None
+    if filter_static is not None:
+        w, fwd, mode = filter_static
+        filter_cfg = TemporalEdgeFilter(window=w, forward=fwd, mode=mode)
+
+    nodes = [inputs.astype(jnp.int32)]
+    valids = [jnp.ones((num_seeds,), jnp.bool_)]
+    states = [input_state.astype(jnp.int32)]
+    rows, cols, eptrs, evalids = [], [], [], []
+
+    for ell, k in enumerate(fanouts):
+        frontier, fvalid, fstate = nodes[ell], valids[ell], states[ell]
+        B = frontier.shape[0]
+        hop_key = rng.fold(key, ell)
+        eptr, neighbor, valid, new_state = _sample_one_hop(
+            hop_key, graph, frontier, fvalid, fstate, k,
+            with_replacement=with_replacement,
+            log_weights=log_weights,
+            filter_cfg=filter_cfg,
+            timestamps=timestamps,
+            window=window,
+        )
+        # Slot arithmetic: edge (i, s) appends node at layer-local i*k+s.
+        slot = node_base[ell + 1] + (
+            jnp.arange(B, dtype=jnp.int32)[:, None] * k
+            + jnp.arange(k, dtype=jnp.int32)[None, :]
+        )
+        col = node_base[ell] + jnp.arange(B, dtype=jnp.int32)[:, None]
+
+        nodes.append(neighbor.reshape(-1))
+        valids.append(valid.reshape(-1))
+        states.append(new_state.reshape(-1))
+        rows.append(slot.reshape(-1))
+        cols.append(jnp.broadcast_to(col, (B, k)).reshape(-1))
+        eptrs.append(eptr.astype(jnp.int32).reshape(-1))
+        evalids.append(valid.reshape(-1))
+
+    return NeighborSample(
+        nodes=jnp.concatenate(nodes),
+        node_valid=jnp.concatenate(valids),
+        node_state=jnp.concatenate(states),
+        rows=jnp.concatenate(rows) if rows else jnp.zeros((0,), jnp.int32),
+        cols=jnp.concatenate(cols) if cols else jnp.zeros((0,), jnp.int32),
+        eptr=jnp.concatenate(eptrs) if eptrs else jnp.zeros((0,), jnp.int32),
+        edge_valid=jnp.concatenate(evalids) if evalids else jnp.zeros((0,), jnp.bool_),
+        node_base=node_base,
+        edge_base=edge_base,
+        fanouts=tuple(fanouts),
+    )
+
+
+def sample_neighbors(
+    graph: CscGraph,
+    inputs,
+    fanouts: Sequence[int],
+    *,
+    key: Optional[jax.Array] = None,
+    sampler: Optional[EdgeSampler] = None,
+    filter: Optional[Tuple[TemporalEdgeFilter, jax.Array]] = None,
+    window: int = 256,
+) -> NeighborSample:
+    """Device-native multi-hop neighbor sampling.
+
+    Args mirror the reference entry point (src/python.rs:187-201): ``graph``
+    is the CSC adjacency, ``inputs`` the seed nodes, ``fanouts`` the per-hop
+    neighbor counts, ``sampler`` a Uniform/Weighted EdgeSampler and
+    ``filter`` an optional ``(TemporalEdgeFilter, initial_states)`` pair.
+    """
+    if key is None:
+        key = rng.next_key()
+    inputs = jnp.asarray(inputs)
+
+    with_replacement = False
+    log_weights = None
+    if isinstance(sampler, UniformEdgeSampler):
+        with_replacement = sampler.with_replacement
+    elif isinstance(sampler, WeightedEdgeSampler):
+        w = jnp.asarray(sampler.weights, dtype=jnp.float32)
+        log_weights = jnp.log(w)
+
+    filter_static = None
+    timestamps = None
+    if filter is not None:
+        fcfg, input_state = filter
+        filter_static = (tuple(int(x) for x in fcfg.window), bool(fcfg.forward), int(fcfg.mode))
+        timestamps = jnp.asarray(fcfg.timestamps, dtype=jnp.int32)
+        input_state = jnp.asarray(input_state, dtype=jnp.int32)
+    else:
+        input_state = jnp.zeros(inputs.shape, jnp.int32)
+
+    return _sample_neighbors_impl(
+        key, graph, inputs, input_state, log_weights, timestamps,
+        tuple(int(k) for k in fanouts), with_replacement, filter_static, window)
+
+
+# ---------------------------------------------------------------------------
+# Host compaction: reference-parity output format
+# ---------------------------------------------------------------------------
+
+def compact_sample(sample: NeighborSample):
+    """Padded device sample -> compact reference-format arrays.
+
+    Returns ``(samples, rows, cols, edge_index, layer_offsets)`` exactly as
+    the reference entry point does (src/python.rs:259-270): local-id COO over
+    a dense node list, with per-hop ``(node_begin, edge_begin, node_begin)``
+    offsets recorded at hop starts (neighbor_sampling.rs:193)."""
+    node_valid = np.asarray(sample.node_valid)
+    edge_valid = np.asarray(sample.edge_valid)
+    nodes = np.asarray(sample.nodes)
+    rows, cols, eptr = (np.asarray(sample.rows), np.asarray(sample.cols),
+                        np.asarray(sample.eptr))
+
+    new_idx = np.cumsum(node_valid) - 1  # old slot -> compact index
+    samples_out = nodes[node_valid]
+
+    rows_c = new_idx[rows[edge_valid]]
+    cols_c = new_idx[cols[edge_valid]]
+    eptr_c = eptr[edge_valid].astype(np.int64)
+
+    node_counts = np.cumsum(np.concatenate([[0], node_valid.astype(np.int64)]))
+    edge_counts = np.cumsum(np.concatenate([[0], edge_valid.astype(np.int64)]))
+    layer_offsets = []
+    for ell in range(sample.num_hops):
+        nb = int(node_counts[sample.node_base[ell + 1]])
+        eb = int(edge_counts[sample.edge_base[ell]])
+        layer_offsets.append((nb, eb, nb))
+
+    return (samples_out.astype(np.int64), rows_c.astype(np.int64),
+            cols_c.astype(np.int64), eptr_c, layer_offsets)
+
+
+def neighbor_sampling_homogenous(
+    col_ptrs,
+    row_indices,
+    inputs,
+    num_neighbors: List[int],
+    sampler: Optional[EdgeSampler] = None,
+    filter: Optional[tuple] = None,
+    *,
+    key: Optional[jax.Array] = None,
+):
+    """Reference-parity API (tch_geometric.pyi:20-27 / src/python.rs:187-271).
+
+    Accepts host arrays, runs the jitted sampler, compacts to the exact
+    reference output tuple.
+    """
+    col_ptrs = np.asarray(col_ptrs)
+    row_indices = np.asarray(row_indices)
+    from ..data.graph import make_graph
+    graph = make_graph(col_ptrs, row_indices,
+                       num_src=int(row_indices.max(initial=-1)) + 1,
+                       num_dst=col_ptrs.shape[0] - 1)
+    out = sample_neighbors(graph, np.asarray(inputs), num_neighbors,
+                           key=key, sampler=sampler, filter=filter)
+    return compact_sample(out)

@@ -1,0 +1,87 @@
+"""Data layer tests: ind2ptr, COO->CSC/CSR with perm, graph queries.
+
+Exact-output cases are taken from the reference's deterministic transform
+tests (/root/reference/src/data/storage.rs:152-184).
+"""
+import numpy as np
+import pytest
+
+from tch_geometric_tpu.data import (
+    csc_graph_from_coo,
+    csr_graph_from_coo,
+    ind2ptr,
+    ind2ptr_np,
+    make_graph,
+    to_csc,
+    to_csr,
+)
+
+
+def test_ind2ptr_exact():
+    # storage.rs:152-163
+    ind = np.array([3, 3, 3, 4, 4, 7, 7, 8, 8], dtype=np.int64)
+    expected = [0, 0, 0, 0, 3, 5, 5, 5, 7, 9, 9]
+    assert ind2ptr_np(ind, 10).tolist() == expected
+    assert np.asarray(ind2ptr(ind, 10)).tolist() == expected
+
+
+def test_ind2ptr_empty():
+    assert ind2ptr_np(np.array([], dtype=np.int64), 4).tolist() == [0, 0, 0, 0, 0]
+
+
+def test_to_csc_exact():
+    # storage.rs:165-184
+    edge_index = np.array([
+        [1, 2, 3, 4, 9, 5, 6, 7],
+        [0, 0, 0, 1, 4, 1, 2, 2],
+    ], dtype=np.int64)
+    col_ptrs, row_indices, perm = to_csc(edge_index, 10)
+    g = make_graph(col_ptrs, row_indices, perm, num_src=10, num_dst=10)
+    deg = np.asarray(g.degree(np.array([0, 1, 4, 2])))
+    assert deg.tolist() == [3, 2, 1, 2]
+    lo, hi = int(col_ptrs[0]), int(col_ptrs[1])
+    assert row_indices[lo:hi].tolist() == [1, 2, 3]
+    lo, hi = int(col_ptrs[1]), int(col_ptrs[2])
+    assert row_indices[lo:hi].tolist() == [4, 5]
+
+
+def test_perm_roundtrip(karate):
+    _x, _y, edge_index = karate
+    n = 34
+    col_ptrs, row_indices, perm = to_csc(edge_index, n)
+    # perm maps sorted edge position -> original edge id: gathering the
+    # original COO by perm must reproduce the sorted layout.
+    assert np.array_equal(edge_index[0][perm], row_indices)
+    # and the reconstructed cols from ptrs must equal sorted col
+    cols_sorted = edge_index[1][perm]
+    assert np.array_equal(ind2ptr_np(cols_sorted, n), col_ptrs)
+
+
+def test_has_edge_find_edge(karate):
+    _x, _y, edge_index = karate
+    n = 34
+    g = csr_graph_from_coo(edge_index, n)
+    edge_set = set(map(tuple, edge_index.T.tolist()))
+    us = np.array([u for u, v in edge_set][:50] + [0, 1, 2, 3])
+    vs = np.array([v for u, v in edge_set][:50] + [0, 0, 0, 0])
+    has = np.asarray(g.has_edge(us, vs))
+    for u, v, h in zip(us, vs, has):
+        assert h == ((u, v) in edge_set), (u, v)
+    # find_edge returns a ptr whose gathered neighbor equals v
+    ptrs = np.asarray(g.find_edge(us, vs))
+    indices = np.asarray(g.indices)
+    for u, v, p in zip(us, vs, ptrs):
+        if (u, v) in edge_set:
+            assert indices[p] == v
+        else:
+            assert p == -1
+
+
+def test_degree_matches_numpy(fake_dataset):
+    _x, _y, edge_index = fake_dataset
+    n = 1144
+    g = csc_graph_from_coo(edge_index, n)
+    expect = np.bincount(edge_index[1], minlength=n)
+    got = np.asarray(g.degree(np.arange(n)))
+    assert np.array_equal(got, expect)
+    assert g.max_degree == expect.max()

@@ -1,0 +1,157 @@
+"""Homogeneous neighbor sampling: invariant tests mirroring the reference's
+(/root/reference/src/algo/neighbor_sampling.rs:437-570)."""
+import jax
+import numpy as np
+import pytest
+
+import tch_geometric_tpu as tgt
+from tch_geometric_tpu.data import csc_graph_from_coo, to_csc
+from tch_geometric_tpu.sampling.neighbor import compact_sample, sample_neighbors
+
+from validators import samples_to_paths, validate_neighbor_samples
+
+
+@pytest.fixture(scope="module")
+def karate_csc(karate):
+    _x, _y, edge_index = karate
+    col_ptrs, row_indices, perm = to_csc(edge_index, 34)
+    graph = csc_graph_from_coo(edge_index, 34)
+    return col_ptrs, row_indices, graph
+
+
+INPUTS = [0, 1, 4, 5]
+FANOUTS = [4, 3]
+
+
+def _run_and_validate(karate_csc, key=0, **kw):
+    col_ptrs, row_indices, graph = karate_csc
+    out = sample_neighbors(graph, np.array(INPUTS), FANOUTS,
+                           key=jax.random.key(key), **kw)
+    samples, rows, cols, eptr, layer_offsets = compact_sample(out)
+    validate_neighbor_samples(col_ptrs, row_indices, samples, samples,
+                              rows, cols, layer_offsets, FANOUTS)
+    assert samples[: len(INPUTS)].tolist() == INPUTS
+    return col_ptrs, row_indices, samples, rows, cols, eptr, layer_offsets
+
+
+def test_uniform_without_replacement(karate_csc):
+    _run_and_validate(karate_csc, sampler=tgt.UniformEdgeSampler(False))
+
+
+def test_uniform_with_replacement(karate_csc):
+    # rs:437-464 uses UnweightedSampler::<true>
+    col_ptrs, row_indices, samples, rows, cols, eptr, offs = _run_and_validate(
+        karate_csc, sampler=tgt.UniformEdgeSampler(True))
+    # with replacement: every seed has full fanout in layer 0 (karate has no
+    # isolated nodes among inputs)
+    counts = np.bincount(cols, minlength=len(samples))
+    assert all(counts[i] == FANOUTS[0] for i in range(len(INPUTS)))
+
+
+def test_weighted(karate_csc):
+    col_ptrs, row_indices, graph = karate_csc
+    rng = np.random.default_rng(0)
+    weights = rng.uniform(0.2, 5.0, size=row_indices.shape[0])
+    _run_and_validate(karate_csc, sampler=tgt.WeightedEdgeSampler(weights))
+
+
+def test_eptr_consistency(karate_csc):
+    # The emitted global edge ptr must point at the (dst, src) pair it claims.
+    col_ptrs, row_indices, samples, rows, cols, eptr, offs = _run_and_validate(
+        karate_csc)
+    for j, i, e in zip(rows, cols, eptr):
+        assert row_indices[e] == samples[j]
+        # e must lie in dst's CSC window
+        w = samples[i]
+        assert col_ptrs[w] <= e < col_ptrs[w + 1]
+
+
+def test_temporal_static(karate_csc):
+    # rs:498-537: static window on edge timestamps
+    col_ptrs, row_indices, graph = karate_csc
+    rng = np.random.default_rng(1)
+    ts = rng.integers(0, 4, size=row_indices.shape[0]).astype(np.int64)
+    input_ts = np.array([0, 1, 2, 3], dtype=np.int64)
+    filt = tgt.TemporalEdgeFilter((0, 2), ts, mode=tgt.TEMPORAL_SAMPLE_STATIC)
+    out = sample_neighbors(graph, np.array(INPUTS), FANOUTS,
+                           key=jax.random.key(3),
+                           sampler=tgt.UniformEdgeSampler(False),
+                           filter=(filt, input_ts))
+    samples, rows, cols, eptr, offs = compact_sample(out)
+    validate_neighbor_samples(col_ptrs, row_indices, samples, samples,
+                              rows, cols, offs, FANOUTS)
+    for e in eptr:
+        assert 0 <= ts[e] <= 2
+
+
+def test_temporal_relative_backward(karate_csc):
+    # rs:539-569: relative window backward in time: along every path,
+    # start_t - 2 <= t <= start_t where start_t is the root's timestamp.
+    col_ptrs, row_indices, graph = karate_csc
+    rng = np.random.default_rng(2)
+    ts = rng.integers(0, 4, size=row_indices.shape[0]).astype(np.int64)
+    input_ts = np.array([0, 1, 2, 3], dtype=np.int64)
+    filt = tgt.TemporalEdgeFilter((0, 2), ts, forward=False,
+                                  mode=tgt.TEMPORAL_SAMPLE_RELATIVE)
+    out = sample_neighbors(graph, np.array(INPUTS), FANOUTS,
+                           key=jax.random.key(4),
+                           sampler=tgt.UniformEdgeSampler(False),
+                           filter=(filt, input_ts))
+    samples, rows, cols, eptr, offs = compact_sample(out)
+    validate_neighbor_samples(col_ptrs, row_indices, samples, samples,
+                              rows, cols, offs, FANOUTS)
+    for _path, edges in samples_to_paths(rows, cols, eptr, samples, INPUTS):
+        if edges:
+            start_t = input_ts[cols[edges[0]]]
+            for edge_idx in edges:
+                t = ts[eptr[edge_idx]]
+                assert start_t - 2 <= t <= start_t
+
+
+def test_temporal_dynamic(karate_csc):
+    # DYNAMIC mode: each step's window is relative to the previous edge's
+    # timestamp (state := edge ts, rs:69-76).
+    col_ptrs, row_indices, graph = karate_csc
+    rng = np.random.default_rng(5)
+    ts = rng.integers(0, 6, size=row_indices.shape[0]).astype(np.int64)
+    input_ts = np.array([2, 3, 2, 3], dtype=np.int64)
+    filt = tgt.TemporalEdgeFilter((0, 1), ts, forward=True,
+                                  mode=tgt.TEMPORAL_SAMPLE_DYNAMIC)
+    out = sample_neighbors(graph, np.array(INPUTS), FANOUTS,
+                           key=jax.random.key(5),
+                           sampler=tgt.UniformEdgeSampler(False),
+                           filter=(filt, input_ts))
+    samples, rows, cols, eptr, offs = compact_sample(out)
+    for _path, edges in samples_to_paths(rows, cols, eptr, samples, INPUTS):
+        state = None
+        for edge_idx in edges:
+            i = cols[edge_idx]
+            if state is None:
+                state = input_ts[i] if i < len(INPUTS) else None
+            t = ts[eptr[edge_idx]]
+            if state is not None:
+                assert 0 <= t - state <= 1
+            state = t
+
+
+def test_determinism_same_key(karate_csc):
+    a = _run_and_validate(karate_csc, key=7)
+    b = _run_and_validate(karate_csc, key=7)
+    for x, y in zip(a[2:6], b[2:6]):
+        assert np.array_equal(x, y)
+
+
+def test_different_keys_differ(karate_csc):
+    a = _run_and_validate(karate_csc, key=8)
+    b = _run_and_validate(karate_csc, key=9)
+    assert not all(np.array_equal(x, y) for x, y in zip(a[2:6], b[2:6]))
+
+
+def test_parity_entrypoint(karate, karate_csc):
+    _x, _y, edge_index = karate
+    col_ptrs, row_indices, _ = karate_csc
+    samples, rows, cols, eptr, offs = tgt.neighbor_sampling_homogenous(
+        col_ptrs, row_indices, np.array(INPUTS), FANOUTS,
+        key=jax.random.key(11))
+    validate_neighbor_samples(col_ptrs, row_indices, samples, samples,
+                              rows, cols, offs, FANOUTS)
