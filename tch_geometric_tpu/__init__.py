@@ -25,6 +25,10 @@ from .sampling.neighbor import (
     neighbor_sampling_homogenous,
     sample_neighbors,
 )
+from .sampling.hetero_neighbor import (
+    neighbor_sampling_heterogenous,
+    sample_hetero_neighbors,
+)
 from .utils.config import (
     TEMPORAL_SAMPLE_DYNAMIC,
     TEMPORAL_SAMPLE_RELATIVE,
