@@ -29,6 +29,11 @@ from .sampling.hetero_neighbor import (
     neighbor_sampling_heterogenous,
     sample_hetero_neighbors,
 )
+from .sampling.walks import (
+    biased_tempo_random_walk,
+    random_walk,
+    tempo_random_walk,
+)
 from .utils.config import (
     TEMPORAL_SAMPLE_DYNAMIC,
     TEMPORAL_SAMPLE_RELATIVE,
