@@ -34,6 +34,12 @@ from .sampling.walks import (
     random_walk,
     tempo_random_walk,
 )
+from .sampling.hgt import hgt_sampling, sample_hgt
+from .sampling.budget import budget_sampling, sample_budget
+from .sampling.negative import (
+    negative_sample_neighbors_heterogenous,
+    negative_sample_neighbors_homogenous,
+)
 from .utils.config import (
     TEMPORAL_SAMPLE_DYNAMIC,
     TEMPORAL_SAMPLE_RELATIVE,

@@ -56,17 +56,19 @@ def floyd_sample(key: jax.Array, deg: jax.Array, k: int) -> Tuple[jax.Array, jax
     """
     deg = jnp.asarray(deg)
     batch_shape = deg.shape
-    chosen = jnp.full(batch_shape + (k,), -1, dtype=jnp.int32)
     degc = deg.astype(jnp.int32)
 
-    keys = jax.random.split(key, k)
-    for i in range(k):
+    def body(i, chosen):
         j = degc - (k - i)  # insertion candidate; may be < 0 when deg < k
         hi = jnp.maximum(j + 1, 1)
-        t = jax.random.randint(keys[i], batch_shape, 0, hi, dtype=jnp.int32)
+        t = jax.random.randint(jax.random.fold_in(key, i), batch_shape, 0, hi,
+                               dtype=jnp.int32)
         hit = jnp.any(chosen == t[..., None], axis=-1)
         new = jnp.where(hit, j, t)
-        chosen = chosen.at[..., i].set(new)
+        return chosen.at[..., i].set(new)
+
+    chosen = jax.lax.fori_loop(
+        0, k, body, jnp.full(batch_shape + (k,), -1, dtype=jnp.int32))
 
     # deg <= k: take every position [0, deg)
     iota = jnp.arange(k, dtype=jnp.int32)

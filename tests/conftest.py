@@ -7,9 +7,11 @@ CPU mesh per SURVEY.md §4 ("multi-host tests can run on CPU with
 import os
 import sys
 
-# The axon TPU plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME does force CPU.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# NOTE: a site-packages .pth hook pre-imports jax (the axon plugin) at
+# interpreter startup, so env vars set here are too late for jax's config
+# defaults.  jax.config.update BEFORE first backend use is authoritative.
+os.environ["JAX_PLATFORMS"] = "cpu"          # for any subprocesses
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,6 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
 
 # Persistent compilation cache: repeat test runs skip recompiles.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
