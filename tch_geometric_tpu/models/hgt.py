@@ -1,0 +1,122 @@
+"""HGT (Heterogeneous Graph Transformer) layer + model.
+
+The relation-typed message-passing consumer for hetero/HGT samples — the
+downstream model the reference's HGT sampler feeds via PyG
+(examples/hgt_sampling.py).  Attention is per-edge over typed relations
+(HGT paper): per node type K/Q/V projections, per relation attention and
+message matrices, segment-softmax over each destination's in-edges.
+
+Operates on the padded per-rel COO of ``HeteroNeighborSample`` /
+``HGTSample`` / ``BudgetSample`` (rows = local src slot, cols = local dst
+slot, edge_valid mask) — masked edges get -inf attention.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.segment import segment_softmax, segment_sum
+
+
+class HGTConv(nn.Module):
+    """One HGT layer over typed node dicts + typed edge lists.
+
+    rel_specs: tuple of (rel_key, src_type, dst_type).
+    """
+
+    features: int
+    node_types: Sequence[str]
+    rel_specs: Sequence[Tuple[str, str, str]]
+    heads: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Dict[str, jax.Array],          # per-type (N_t, F_t)
+        edges: Dict[str, Tuple[jax.Array, jax.Array, jax.Array]],
+        # rel -> (rows: src slots, cols: dst slots, valid mask)
+    ) -> Dict[str, jax.Array]:
+        H, F = self.heads, self.features
+        assert F % H == 0
+        d = F // H
+
+        k_lin = {t: nn.Dense(F, dtype=self.dtype, name=f"k_{t}")
+                 for t in self.node_types}
+        q_lin = {t: nn.Dense(F, dtype=self.dtype, name=f"q_{t}")
+                 for t in self.node_types}
+        v_lin = {t: nn.Dense(F, dtype=self.dtype, name=f"v_{t}")
+                 for t in self.node_types}
+        a_lin = {t: nn.Dense(F, dtype=self.dtype, name=f"a_{t}")
+                 for t in self.node_types}
+        skip = {t: self.param(f"skip_{t}", nn.initializers.ones, (1,))
+                for t in self.node_types}
+
+        K = {t: k_lin[t](x[t]).reshape(-1, H, d) for t in self.node_types}
+        Q = {t: q_lin[t](x[t]).reshape(-1, H, d) for t in self.node_types}
+        V = {t: v_lin[t](x[t]).reshape(-1, H, d) for t in self.node_types}
+
+        out = {t: jnp.zeros((x[t].shape[0], H, d),
+                            x[t].dtype if self.dtype is None else self.dtype)
+               for t in self.node_types}
+
+        for (r, src, dst) in self.rel_specs:
+            if r not in edges:
+                continue
+            rows, cols, valid = edges[r]
+            if rows.shape[0] == 0:
+                continue
+            w_att = self.param(f"w_att_{r}", nn.initializers.lecun_normal(),
+                               (H, d, d))
+            w_msg = self.param(f"w_msg_{r}", nn.initializers.lecun_normal(),
+                               (H, d, d))
+            mu = self.param(f"mu_{r}", nn.initializers.ones, (H,))
+
+            rows_c = jnp.clip(rows, 0, x[src].shape[0] - 1)
+            cols_c = jnp.clip(cols, 0, x[dst].shape[0] - 1)
+            k_e = K[src][rows_c]                       # (E, H, d)
+            q_e = Q[dst][cols_c]
+            v_e = V[src][rows_c]
+            kt = jnp.einsum("ehd,hdf->ehf", k_e, w_att)
+            score = (kt * q_e).sum(-1) * (mu / jnp.sqrt(d))   # (E, H)
+            att = segment_softmax(score, cols_c, x[dst].shape[0],
+                                  mask=valid)          # (E, H)
+            msg = jnp.einsum("ehd,hdf->ehf", v_e, w_msg)
+            msg = msg * att[..., None]
+            msg = jnp.where(valid[:, None, None], msg, 0.0)
+            out[dst] = out[dst] + segment_sum(msg, cols_c, x[dst].shape[0])
+
+        res = {}
+        for t in self.node_types:
+            h = nn.gelu(a_lin[t](out[t].reshape(-1, F)))
+            alpha = nn.sigmoid(skip[t])
+            if x[t].shape[-1] == F:
+                h = alpha * h + (1 - alpha) * x[t]
+            res[t] = h
+        return res
+
+
+class HGT(nn.Module):
+    """Multi-layer HGT with per-type input projections + output head."""
+
+    hidden: int
+    out: int
+    num_layers: int
+    node_types: Sequence[str]
+    rel_specs: Sequence[Tuple[str, str, str]]
+    out_type: str                      # node type carrying the prediction
+    heads: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Dict[str, jax.Array], edges) -> jax.Array:
+        h = {t: nn.Dense(self.hidden, dtype=self.dtype, name=f"in_{t}")(x[t])
+             for t in self.node_types}
+        for i in range(self.num_layers):
+            h = HGTConv(self.hidden, self.node_types, self.rel_specs,
+                        heads=self.heads, dtype=self.dtype,
+                        name=f"hgt{i}")(h, edges)
+        return nn.Dense(self.out, dtype=self.dtype, name="head")(h[self.out_type])

@@ -1,0 +1,104 @@
+"""GraphSAGE — the downstream model the reference delegates to PyG.
+
+Two execution paths:
+
+* **Sampled-tree path** (``method=tree_forward``): consumes a padded
+  ``NeighborSample`` directly on device.  Because every hop is a static
+  ``(frontier, fanout)`` block, neighbor aggregation is ``reshape + masked
+  mean`` — pure dense VPU work followed by MXU matmuls, no scatter/gather at
+  all.  This is the sampling->training path with no host round-trip
+  (BASELINE north star), replacing PyG's ``filter_data`` + ``SAGEConv``
+  (examples/neighbor_sampling.py:21-24).
+* **Full-graph path** (``__call__``): CSR SpMM aggregation per layer, for
+  inference / the edges-per-second benchmark.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..data.graph import SparseGraph
+from ..ops.spmm import spmm
+from ..sampling.neighbor import NeighborSample
+
+
+class SAGEConv(nn.Module):
+    """out = W_self x + W_neigh agg(x_neighbors)  (+bias)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x_self, x_agg):
+        w_self = nn.Dense(self.features, use_bias=self.use_bias,
+                          dtype=self.dtype, name="lin_self")
+        w_neigh = nn.Dense(self.features, use_bias=False,
+                           dtype=self.dtype, name="lin_neigh")
+        return w_self(x_self) + w_neigh(x_agg)
+
+
+def tree_neighbor_mean(h: jax.Array, valid: jax.Array,
+                       sample: NeighborSample, depth: int) -> jax.Array:
+    """Masked mean of depth+1 children for each depth-``depth`` slot.
+
+    Children of frontier slot i are slots ``base + i*k .. +k`` — static slot
+    arithmetic, so this is a reshape + masked mean (no scatter)."""
+    k = sample.fanouts[depth]
+    lo, hi = sample.node_base[depth], sample.node_base[depth + 1]
+    clo, chi = sample.node_base[depth + 1], sample.node_base[depth + 2]
+    B = hi - lo
+    child_h = h[clo:chi].reshape(B, k, -1)
+    child_m = valid[clo:chi].reshape(B, k, 1).astype(child_h.dtype)
+    s = (child_h * child_m).sum(axis=1)
+    cnt = child_m.sum(axis=1)
+    return s / jnp.maximum(cnt, 1.0)
+
+
+class GraphSAGE(nn.Module):
+    """Multi-layer GraphSAGE with mean aggregation."""
+
+    hidden: int
+    out: int
+    num_layers: int
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        feats = [self.hidden] * (self.num_layers - 1) + [self.out]
+        self.convs = [SAGEConv(f, dtype=self.dtype, name=f"conv{i}")
+                      for i, f in enumerate(feats)]
+
+    def __call__(self, x, graph: SparseGraph):
+        """Full-graph forward: x (N, F), CSC in-neighbor adjacency."""
+        h = x
+        for i, conv in enumerate(self.convs):
+            agg = spmm(graph, h, agg="mean")
+            h = conv(h, agg)
+            if i < self.num_layers - 1:
+                h = nn.relu(h)
+        return h
+
+    def tree_forward(self, sample: NeighborSample, x):
+        """Sampled-batch forward: x (N_total, F) per-slot features.
+
+        Layer j updates slots at depths 0..num_hops-1-j from depths one
+        deeper; returns seed-node logits (num_seeds, out)."""
+        assert sample.num_hops >= self.num_layers, (
+            "need at least as many sampled hops as conv layers")
+        h = x
+        valid = sample.node_valid
+        for j, conv in enumerate(self.convs):
+            keep_depths = sample.num_hops - j  # depths 0..keep_depths-1 updated
+            parts = []
+            for d in range(keep_depths):
+                lo, hi = sample.node_base[d], sample.node_base[d + 1]
+                agg = tree_neighbor_mean(h, valid, sample, d)
+                parts.append(conv(h[lo:hi], agg))
+            h = jnp.concatenate(parts, axis=0)
+            if j < self.num_layers - 1:
+                h = nn.relu(h)
+        num_seeds = sample.node_base[1]
+        return h[:num_seeds]

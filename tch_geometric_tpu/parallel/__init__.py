@@ -1,0 +1,2 @@
+from .mesh import data_sharding, make_mesh, param_sharding_rule, replicated, shard_params
+from .train import TrainState, make_sage_trainer

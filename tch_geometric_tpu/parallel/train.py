@@ -1,0 +1,89 @@
+"""End-to-end sampled training: sample -> gather -> forward -> backward,
+one jitted program, no host round-trip.
+
+This is the path the reference cannot express: its sampler returns host
+tensors that a PyTorch DataLoader feeds to PyG (SURVEY §3.1).  Here the
+neighbor sampler IS part of the train step — the whole minibatch pipeline
+compiles into a single XLA program per step.
+
+Data parallelism: seeds/labels sharded over the mesh 'data' axis; each chip
+draws its own counter-based keys (device-count independent, sampling/rng.py)
+and XLA inserts the gradient all-reduce.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.graph import CscGraph
+from ..models.sage import GraphSAGE
+from ..sampling import rng
+from ..sampling.neighbor import _sample_neighbors_impl
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_sage_trainer(
+    model: GraphSAGE,
+    fanouts: Sequence[int],
+    *,
+    learning_rate: float = 1e-2,
+    with_replacement: bool = True,
+    window: int = 256,
+):
+    """Build (init_fn, train_step, eval_step) closures for sampled GraphSAGE.
+
+    train_step(state, key, graph, x_table, seeds, labels) -> (state, loss)
+    — seeds/labels may be sharded over a mesh 'data' axis; everything inside
+    is jit-compiled including the neighbor sampling itself.
+    """
+    fanouts = tuple(int(k) for k in fanouts)
+    tx = optax.adam(learning_rate)
+
+    def sample_and_gather(key, graph, x_table, seeds):
+        zeros = jnp.zeros((seeds.shape[0],), jnp.int32)
+        sample = _sample_neighbors_impl(
+            key, graph, seeds.astype(jnp.int32), zeros, None, None,
+            fanouts, with_replacement, None, window)
+        x = x_table[jnp.clip(sample.nodes, 0, x_table.shape[0] - 1)]
+        x = jnp.where(sample.node_valid[:, None], x, 0.0)
+        return sample, x
+
+    def loss_fn(params, key, graph, x_table, seeds, labels):
+        sample, x = sample_and_gather(key, graph, x_table, seeds)
+        logits = model.apply(params, sample, x,
+                             method=GraphSAGE.tree_forward)
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels).mean()
+        return loss, logits
+
+    def init_fn(key, graph, x_table, seeds):
+        sample, x = sample_and_gather(key, graph, x_table, seeds)
+        params = model.init(key, sample, x, method=GraphSAGE.tree_forward)
+        return TrainState(params=params, opt_state=tx.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    @jax.jit
+    def train_step(state: TrainState, key, graph, x_table, seeds, labels):
+        step_key = rng.fold(key, state.step)
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, step_key, graph, x_table, seeds, labels)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc = (logits.argmax(-1) == labels).mean()
+        return TrainState(params, opt_state, state.step + 1), loss, acc
+
+    @jax.jit
+    def eval_step(state: TrainState, key, graph, x_table, seeds, labels):
+        loss, logits = loss_fn(state.params, key, graph, x_table, seeds, labels)
+        return loss, (logits.argmax(-1) == labels).mean()
+
+    return init_fn, train_step, eval_step
