@@ -9,3 +9,4 @@ from .storage import (
     to_csr,
 )
 from .io import load_fake_dataset, load_fake_hetero_graph, load_karate_graph
+from .dataset import Data, HeteroData

@@ -1,2 +1,3 @@
 from .sage import SAGEConv, GraphSAGE, tree_neighbor_mean
 from .hgt import HGT, HGTConv
+from .node2vec import Node2Vec, make_node2vec_trainer

@@ -1,0 +1,64 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: ring SpMM,
+all-to-all halo gather, DP+TP train step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tch_geometric_tpu.data import csc_graph_from_coo
+from tch_geometric_tpu.ops.spmm import spmm
+from tch_geometric_tpu.parallel.partition import (
+    alltoall_gather,
+    build_ring_shards,
+    pad_features,
+    ring_spmm,
+)
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8,
+                                reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()[:8]), ("data",))
+
+
+def test_ring_spmm_matches_local(karate, mesh):
+    _x, _y, edge_index = karate
+    N = 34
+    # local reference: CSC in-neighbor aggregation == dst-owner aggregation
+    g = csc_graph_from_coo(edge_index, N)
+    x = np.random.default_rng(0).normal(size=(N, 8)).astype(np.float32)
+    want = np.asarray(spmm(g, jnp.asarray(x), agg="sum"))
+
+    shards = build_ring_shards(edge_index, N, 8)
+    xp = pad_features(x, 8)
+    sh = NamedSharding(mesh, P("data"))
+    x_sharded = jax.device_put(jnp.asarray(xp), sh)
+    out = ring_spmm(shards, x_sharded, mesh)
+    got = np.asarray(out)[:N]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_alltoall_gather(mesh):
+    Np, Rp, F, R = 8, 4, 6, 3
+    x = np.arange(Np * Rp * F, dtype=np.float32).reshape(Np * Rp, F)
+    rng_np = np.random.default_rng(1)
+    # device d requests R local rows from each owner s
+    req = rng_np.integers(0, Rp, (Np, Np, R)).astype(np.int32)
+    sh = NamedSharding(mesh, P("data"))
+    x_sh = jax.device_put(jnp.asarray(x), sh)
+    req_sh = jax.device_put(jnp.asarray(req), sh)
+    out = np.asarray(alltoall_gather(x_sh, req_sh, mesh))  # (P, P, R, F)
+    for d in range(Np):
+        for s in range(Np):
+            for r in range(R):
+                want = x[s * Rp + req[d, s, r]]
+                np.testing.assert_allclose(out[d, s, r], want)
+
+
+def test_dp_tp_train_step(karate, mesh2d=None):
+    # exercised via __graft_entry__.dryrun_multichip
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
