@@ -52,10 +52,26 @@ def _coo_sort_np(row: np.ndarray, col: np.ndarray, num_rows: int, num_cols: int,
     return row[perm], col[perm], perm
 
 
+def _native_csx(row_col, num_rows, num_cols, csc):
+    """C++ counting-sort builder when available (native/graph_builder.cpp);
+    None if the native library is unavailable."""
+    try:
+        from .. import native
+    except Exception:
+        return None
+    if not native.available():
+        return None
+    row_col = np.asarray(row_col)
+    return native.coo_to_csx(row_col[0], row_col[1], num_rows, num_cols, csc)
+
+
 def to_csc(row_col, size) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Reference-parity ``to_csc`` (src/python.rs:27-39): COO (2, E) ->
     (col_ptrs, row_indices, perm) as host arrays."""
     num_rows, num_cols = _norm_size(size)
+    nat = _native_csx(row_col, num_rows, num_cols, csc=True)
+    if nat is not None:
+        return nat
     row_col = np.asarray(row_col)
     row, col, perm = _coo_sort_np(row_col[0], row_col[1], num_rows, num_cols, csc=True)
     col_ptrs = ind2ptr_np(col, num_cols)
@@ -65,6 +81,9 @@ def to_csc(row_col, size) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 def to_csr(row_col, size) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Reference-parity ``to_csr`` (src/python.rs:41-53)."""
     num_rows, num_cols = _norm_size(size)
+    nat = _native_csx(row_col, num_rows, num_cols, csc=False)
+    if nat is not None:
+        return nat
     row_col = np.asarray(row_col)
     row, col, perm = _coo_sort_np(row_col[0], row_col[1], num_rows, num_cols, csc=False)
     row_ptrs = ind2ptr_np(row, num_rows)
