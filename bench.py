@@ -15,6 +15,15 @@ import time
 
 import numpy as np
 
+# Persistent compilation cache: the axon tunnel compile service is slow and
+# occasionally produces pathological executables; caching makes repeat runs
+# fast and deterministic.
+import jax as _jax_for_cache
+_jax_for_cache.config.update("jax_compilation_cache_dir",
+                             "/tmp/jax_cache_tpu")
+_jax_for_cache.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 N = 1 << 18          # 262144
 E = 1 << 22          # 4,194,304
 F = 128
