@@ -10,3 +10,4 @@ from .storage import (
 )
 from .io import load_fake_dataset, load_fake_hetero_graph, load_karate_graph
 from .dataset import Data, HeteroData
+from .ogb import OGBN_SPECS, load_ogbn, synthetic_ogbn

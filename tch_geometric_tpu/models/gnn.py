@@ -1,0 +1,128 @@
+"""GCN and GAT — additional message-passing model families.
+
+Both consume the same graph containers as GraphSAGE: full-graph CSR/CSC via
+SpMM/SDDMM, and padded tree samples via dense reshape attention (GAT) /
+normalized mean (GCN).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..data.graph import SparseGraph
+from ..ops.segment import csr_row_ids, segment_softmax, segment_sum
+from ..ops.spmm import spmm
+from ..sampling.neighbor import NeighborSample
+
+
+class GCNConv(nn.Module):
+    """Symmetric-normalized graph convolution: D^-1/2 A D^-1/2 X W."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, graph: SparseGraph, *, add_self_loops: bool = True):
+        w = nn.Dense(self.features, use_bias=True, dtype=self.dtype)
+        h = w(x)
+        deg = graph.degree(jnp.arange(graph.num_ptr_nodes))
+        if add_self_loops:
+            norm_deg = deg + 1
+        else:
+            norm_deg = jnp.maximum(deg, 1)
+        inv_sqrt = jax.lax.rsqrt(norm_deg.astype(h.dtype))
+        # normalize source side, aggregate, normalize dst side
+        agg = spmm(graph, h * inv_sqrt[: h.shape[0], None], agg="sum")
+        out = agg * inv_sqrt[:, None]
+        if add_self_loops:
+            out = out + h * (inv_sqrt ** 2)[:, None]
+        return out
+
+
+class GATConv(nn.Module):
+    """Multi-head graph attention (GATv1-style additive logits)."""
+
+    features: int
+    heads: int = 4
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, graph: SparseGraph):
+        H = self.heads
+        d = self.features // H
+        assert self.features % H == 0
+        w = nn.Dense(self.features, use_bias=False, dtype=self.dtype)
+        h = w(x).reshape(-1, H, d)
+        a_src = self.param("a_src", nn.initializers.lecun_normal(), (H, d))
+        a_dst = self.param("a_dst", nn.initializers.lecun_normal(), (H, d))
+
+        E = graph.num_edges
+        rows = csr_row_ids(graph.indptr, E)             # dst per edge
+        alpha_src = (h * a_src[None]).sum(-1)           # (N, H)
+        alpha_dst = (h * a_dst[None]).sum(-1)
+        logits = jax.nn.leaky_relu(
+            alpha_src[graph.indices] + alpha_dst[rows], 0.2)   # (E, H)
+        att = segment_softmax(logits, rows, graph.num_ptr_nodes)
+        msg = h[graph.indices] * att[..., None]         # (E, H, d)
+        out = segment_sum(msg, rows, graph.num_ptr_nodes)
+        return out.reshape(-1, self.features)
+
+    @staticmethod
+    def tree_attention(h, valid, sample: NeighborSample, depth: int,
+                       a_src, a_dst):
+        """Dense attention over a padded tree layer: (B, k) children —
+        softmax over the fanout axis, no scatter."""
+        k = sample.fanouts[depth]
+        lo, hi = sample.node_base[depth], sample.node_base[depth + 1]
+        clo, chi = sample.node_base[depth + 1], sample.node_base[depth + 2]
+        B = hi - lo
+        H, d = a_src.shape
+        hd = h[lo:hi].reshape(B, H, d)
+        hc = h[clo:chi].reshape(B, k, H, d)
+        mask = valid[clo:chi].reshape(B, k)
+        logits = jax.nn.leaky_relu(
+            (hc * a_src[None, None]).sum(-1)
+            + (hd * a_dst[None]).sum(-1)[:, None, :], 0.2)     # (B, k, H)
+        logits = jnp.where(mask[..., None], logits, -jnp.inf)
+        att = jax.nn.softmax(logits, axis=1)
+        att = jnp.where(mask[..., None], att, 0.0)
+        return (hc * att[..., None]).sum(axis=1).reshape(B, H * d)
+
+
+class GCN(nn.Module):
+    hidden: int
+    out: int
+    num_layers: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, graph: SparseGraph):
+        h = x
+        for i in range(self.num_layers):
+            f = self.out if i == self.num_layers - 1 else self.hidden
+            h = GCNConv(f, dtype=self.dtype)(h, graph)
+            if i < self.num_layers - 1:
+                h = nn.relu(h)
+        return h
+
+
+class GAT(nn.Module):
+    hidden: int
+    out: int
+    num_layers: int
+    heads: int = 4
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, graph: SparseGraph):
+        h = x
+        for i in range(self.num_layers):
+            f = self.out if i == self.num_layers - 1 else self.hidden
+            heads = 1 if i == self.num_layers - 1 else self.heads
+            h = GATConv(max(f, heads), heads=heads, dtype=self.dtype)(h, graph)
+            if i < self.num_layers - 1:
+                h = nn.elu(h)
+        return h

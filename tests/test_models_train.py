@@ -161,3 +161,36 @@ def test_spmm_blocked_exact(fake_dataset):
     gotm = np.asarray(spmm_blocked(b, x, agg="mean", compute_dtype=jnp.float32))
     wantm = np.asarray(spmm(g, x, agg="mean"))
     np.testing.assert_allclose(gotm, wantm, rtol=1e-5, atol=1e-5)
+
+
+def test_gcn_forward(karate):
+    from tch_geometric_tpu.models import GCN
+    x_feat, _y, edge_index = karate
+    g = csc_graph_from_coo(edge_index, 34)
+    model = GCN(hidden=16, out=4, num_layers=2)
+    params = model.init(jax.random.key(0), jnp.asarray(x_feat), g)
+    out = model.apply(params, jnp.asarray(x_feat), g)
+    assert out.shape == (34, 4) and np.isfinite(np.asarray(out)).all()
+
+
+def test_gat_forward(karate):
+    from tch_geometric_tpu.models import GAT
+    x_feat, _y, edge_index = karate
+    g = csc_graph_from_coo(edge_index, 34)
+    model = GAT(hidden=16, out=4, num_layers=2, heads=4)
+    params = model.init(jax.random.key(0), jnp.asarray(x_feat), g)
+    out = model.apply(params, jnp.asarray(x_feat), g)
+    assert out.shape == (34, 4) and np.isfinite(np.asarray(out)).all()
+
+
+def test_gat_attention_sums_to_one(karate):
+    # attention over each dst's in-edges must sum to 1
+    from tch_geometric_tpu.ops.segment import csr_row_ids, segment_softmax
+    _x, _y, edge_index = karate
+    g = csc_graph_from_coo(edge_index, 34)
+    rows = csr_row_ids(g.indptr, g.num_edges)
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(g.num_edges, 2)).astype(np.float32))
+    att = segment_softmax(logits, rows, 34)
+    sums = np.asarray(jax.ops.segment_sum(att, rows, 34))
+    deg = np.asarray(g.degree(jnp.arange(34)))
+    np.testing.assert_allclose(sums[deg > 0], 1.0, rtol=1e-4)
