@@ -47,7 +47,8 @@ def build_graph():
 def bench_tpu(indptr, indices):
     import jax
     import jax.numpy as jnp
-    from tch_geometric_tpu.ops.spmm_blocked import build_blocked, spmm_blocked
+    from tch_geometric_tpu.ops.spmm_blocked import build_blocked
+    from tch_geometric_tpu.ops.spmm_pallas import spmm_blocked_auto
 
     log(f"devices: {jax.devices()}")
     graph = build_blocked(indptr, indices, rows_per_block=128)
@@ -61,7 +62,7 @@ def bench_tpu(indptr, indices):
     @jax.jit
     def f_chain(g, x):
         def body(h, _):
-            return spmm_blocked(g, h, agg="mean").astype(jnp.float32), None
+            return spmm_blocked_auto(g, h, agg="mean").astype(jnp.float32), None
         h, _ = jax.lax.scan(body, x, None, length=K)
         return h.sum()
 

@@ -8,3 +8,5 @@ from .segment import (
     segment_sum,
 )
 from .spmm import sddmm, spmm
+from .spmm_blocked import BlockedCsr, build_blocked, spmm_blocked
+from .spmm_pallas import spmm_blocked_auto, spmm_blocked_pallas

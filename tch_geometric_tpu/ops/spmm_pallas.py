@@ -1,0 +1,102 @@
+"""Pallas TPU kernel for the blocked-ELL SpMM contraction.
+
+Replaces the XLA tail of ``spmm_blocked`` (batched one-hot matmul ->
+(T, W, F) partials -> cumsum -> block diff) with a single kernel:
+
+* grid over chunks; the destination OUTPUT block for chunk ``t`` is chosen
+  by a scalar-prefetched ``chunk_block`` array (PrefetchScalarGridSpec) —
+  consecutive chunks of the same row block revisit the same VMEM output
+  tile and accumulate in place, so the (T, W, F) partial tensor and the
+  log-depth cumsum never touch HBM at all.
+* the one-hot matrix is materialised only in VMEM, per chunk, from the
+  (C,) local-row ids, and contracted on the MXU.
+
+Inputs are the XLA-gathered source rows (the gather remains XLA's — its
+random-row DMA engine is the practical limit; see BASELINE.md).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .spmm_blocked import BlockedCsr
+
+
+def _kernel(chunk_block_ref, lr_ref, g_ref, out_ref):
+    t = pl.program_id(0)
+    blk = chunk_block_ref[t]
+    prev_blk = chunk_block_ref[jnp.maximum(t - 1, 0)]
+    first = jnp.logical_or(t == 0, blk != prev_blk)
+
+    lr = lr_ref[0].reshape(-1)                       # (C,) int32
+    W = out_ref.shape[0]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, lr.shape[0]), 0)
+    oh = (iota_w == lr[None, :]).astype(g_ref.dtype)  # (W, C) in VMEM only
+    part = jnp.dot(oh, g_ref[0], preferred_element_type=jnp.float32)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[:] = out_ref[:] + part
+
+
+def spmm_blocked_pallas(b: BlockedCsr, x: jax.Array, *, agg: str = "sum",
+                        compute_dtype=jnp.bfloat16,
+                        interpret: bool = False) -> jax.Array:
+    """Scatter-free SpMM with the Pallas accumulation kernel.
+
+    Exact same semantics as ``spmm_blocked``; the gather is XLA, the
+    contraction + block accumulation is the kernel above.
+    """
+    W = b.rows_per_block
+    T, C = b.edge_src.shape
+    F = x.shape[-1]
+    B = b.num_blocks
+
+    g = x.astype(compute_dtype)[b.edge_src]          # (T, C, F) XLA gather
+
+    # TPU block shapes: last two dims must tile to (8, 128) or equal the
+    # array dims — reshape the (T, C) int32 local rows to (T, C/128, 128)
+    # and take the full trailing dims per chunk.
+    assert C % 128 == 0, "chunk_edges must be a multiple of 128"
+    lr3 = b.edge_local_row.reshape(T, C // 128, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, C // 128, 128), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, C, F), lambda t, cb: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((W, F), lambda t, cb: (cb[t], 0)),
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * W, F), jnp.float32),
+        interpret=interpret,
+    )(b.chunk_block, lr3, g)
+
+    out = out[: b.num_rows]
+    if agg == "mean":
+        out = out / jnp.maximum(b.degree, 1)[:, None].astype(out.dtype)
+    elif agg != "sum":
+        raise ValueError(f"unsupported agg {agg!r}")
+    return out
+
+
+def spmm_blocked_auto(b: BlockedCsr, x: jax.Array, *, agg: str = "sum",
+                      compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Pallas kernel on TPU; XLA blocked path elsewhere."""
+    from .spmm_blocked import spmm_blocked
+    if jax.default_backend() == "tpu" and b.chunk_edges % 128 == 0:
+        return spmm_blocked_pallas(b, x, agg=agg, compute_dtype=compute_dtype)
+    return spmm_blocked(b, x, agg=agg, compute_dtype=compute_dtype)

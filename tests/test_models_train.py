@@ -194,3 +194,19 @@ def test_gat_attention_sums_to_one(karate):
     sums = np.asarray(jax.ops.segment_sum(att, rows, 34))
     deg = np.asarray(g.degree(jnp.arange(34)))
     np.testing.assert_allclose(sums[deg > 0], 1.0, rtol=1e-4)
+
+
+def test_spmm_pallas_interpret(fake_dataset):
+    from tch_geometric_tpu.ops.spmm_blocked import build_blocked
+    from tch_geometric_tpu.ops.spmm_pallas import spmm_blocked_pallas
+    _x, _y, ei = fake_dataset
+    g = csc_graph_from_coo(ei, 1144)
+    b = build_blocked(np.asarray(g.indptr), np.asarray(g.indices),
+                      rows_per_block=64, chunk_edges=256)
+    x = jnp.asarray(np.random.default_rng(0).integers(-4, 5, (1144, 32))
+                    .astype(np.float32))
+    want = np.asarray(spmm(g, x, agg="sum"))
+    got = np.asarray(spmm_blocked_pallas(b, x, agg="sum",
+                                         compute_dtype=jnp.float32,
+                                         interpret=True))
+    assert (got == want).all()
