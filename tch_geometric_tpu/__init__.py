@@ -18,7 +18,7 @@ Two API levels:
   fixed-shape pytrees that feed models with no host round-trip.
 """
 
-from . import data, models, ops, parallel, sampling, transforms, utils
+from . import data, loader, models, ops, parallel, sampling, transforms, utils
 from .data.storage import to_csc, to_csr, ind2ptr_np as ind2ptr
 from .sampling.rng import seed as rng_reseed
 from .sampling.neighbor import (

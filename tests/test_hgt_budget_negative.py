@@ -172,3 +172,23 @@ def test_negative_sampling_heterogenous(hetero_graphs):
             assert (v, w) not in edge_sets[r]
             total += 1
     assert total > 0
+
+
+def test_budget_paths_head_at_seed(hetero_graphs):
+    # budget_sampling.rs:488-493: every reconstructed path head is a seed.
+    from validators import samples_to_heteropaths
+    from tch_geometric_tpu.utils.types import rel_key
+    xs, coo, node_counts, csc_p, csc_i, *_ = hetero_graphs
+    node_types = sorted(xs)
+    edge_types = sorted(coo)
+    inputs = {t: np.array([0, 1, 4, 5], dtype=np.int64) for t in node_types}
+    nodes, ts, rows, cols, eptr, offs = tgt.budget_sampling(
+        node_types, edge_types, csc_p, csc_i, None, inputs, None,
+        {t: [3, 4] for t in node_types}, 2, key=jax.random.key(11),
+        node_counts=node_counts)
+    etm = {rel_key(e): e for e in edge_types}
+    paths = samples_to_heteropaths(nodes, rows, cols, etm)
+    assert paths
+    for path in paths:
+        head_type, head_ptr = path[0]
+        assert head_ptr < len(inputs[head_type]), (path[0], "head not a seed")

@@ -70,3 +70,30 @@ def samples_to_paths(rows, cols, edge_index, samples, inputs):
                 break
         paths.append((head + [v], head_edges + [edge_idx]))
     return list(paths)
+
+
+def samples_to_heteropaths(nodes, rows, cols, edge_types_map):
+    """Hetero path reconstruction (budget_sampling.rs:358-399): linked-list
+    across typed COOs; returns paths as [(node_type, local_ptr), ...] with
+    every path head being a seed."""
+    segments = {}
+    for node_type, node_list in nodes.items():
+        for i in range(len(node_list)):
+            segments[(node_type, i)] = {"next": None, "tail": True}
+    for rel, (src, _r, dst) in edge_types_map.items():
+        for i, j in zip(rows[rel], cols[rel]):
+            source = segments[(src, int(i))]
+            target = segments[(dst, int(j))]
+            target["tail"] = False
+            source["next"] = (dst, int(j))
+    results = []
+    for key_, seg in segments.items():
+        if not seg["tail"]:
+            continue
+        path = []
+        cur = key_
+        while cur is not None:
+            path.insert(0, cur)
+            cur = segments[cur]["next"]
+        results.append(path)
+    return results
