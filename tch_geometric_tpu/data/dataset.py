@@ -16,7 +16,7 @@ import numpy as np
 
 from ..utils.types import EdgeType, NodeType, RelType, rel_key
 from .graph import CscGraph, CsrGraph
-from .storage import csc_graph_from_coo, csr_graph_from_coo, to_csc, to_csr
+from .storage import csc_graph_from_coo, csr_graph_from_coo
 
 
 @dataclass

@@ -8,8 +8,6 @@ real datasets) for benchmarking the BASELINE configs without downloads.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from .dataset import Data

@@ -15,13 +15,13 @@ program (e.g. re-partitioning), using XLA sort.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .graph import CscGraph, CsrGraph, SparseGraph, make_graph
+from .graph import CscGraph, CsrGraph, make_graph
 
 
 def ind2ptr_np(ind: np.ndarray, m: int) -> np.ndarray:

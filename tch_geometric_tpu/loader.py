@@ -9,11 +9,11 @@ there is nothing to multiprocess.  ``to_csc``/``to_csr`` re-exports mirror
 """
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional, Union
+from typing import Iterator, Union
 
 import numpy as np
 
-from .data.dataset import Data, HeteroData
+from .data.dataset import Data
 from .data.storage import to_csc as _to_csc, to_csr as _to_csr
 
 

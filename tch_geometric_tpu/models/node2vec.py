@@ -7,8 +7,7 @@ negative-sampling loss run inside one jitted train step.
 """
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -16,8 +16,6 @@ random-row DMA engine is the practical limit; see BASELINE.md).
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -3,8 +3,7 @@ attention, one jitted step (BASELINE config 4: fakehetero/ogbn-mag-style).
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,7 @@ and XLA inserts the gradient all-reduce.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -34,7 +34,6 @@ from flax import struct
 
 from ..data.graph import CscGraph, make_graph
 from ..utils.config import (
-    TEMPORAL_SAMPLE_DYNAMIC,
     EdgeSampler,
     TemporalEdgeFilter,
     UniformEdgeSampler,

@@ -36,7 +36,6 @@ from flax import struct
 from ..data.graph import CscGraph
 from ..utils.config import (
     TEMPORAL_SAMPLE_DYNAMIC,
-    TEMPORAL_SAMPLE_RELATIVE,
     TEMPORAL_SAMPLE_STATIC,
     EdgeSampler,
     TemporalEdgeFilter,

@@ -24,7 +24,6 @@ All functions take an explicit key and are jit/vmap-friendly.
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Tuple
 
 import jax

@@ -27,7 +27,7 @@ from .sampling.negative import (
     negative_sample_neighbors_homogenous,
 )
 from .sampling.neighbor import compact_sample, sample_neighbors
-from .utils.config import EdgeSampler, TemporalEdgeFilter
+from .utils.config import EdgeSampler
 from .utils.types import NodeType, RelType, rel_key
 
 

@@ -11,7 +11,6 @@ import pickle
 from typing import Any, Optional
 
 import jax
-import numpy as np
 
 try:
     import orbax.checkpoint as ocp

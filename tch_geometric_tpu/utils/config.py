@@ -11,8 +11,8 @@ jit specialisation: configs are hashable static arguments, array payloads
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, Optional, Tuple, Union
+from dataclasses import dataclass
+from typing import Dict, Tuple, Union
 
 import numpy as np
 

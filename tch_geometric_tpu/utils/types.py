@@ -13,7 +13,7 @@ strings in its hot loop); all jitted code works on integer type ids.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 NodeType = str
 RelType = str
