@@ -62,3 +62,21 @@ def test_dp_tp_train_step(karate, mesh2d=None):
     # exercised via __graft_entry__.dryrun_multichip
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_barrier_and_checksums(mesh):
+    from tch_geometric_tpu.parallel import barrier, inject_shard_fault, shard_checksums
+    assert barrier(mesh, timeout_s=120.0)
+    x = np.arange(64, dtype=np.float32).reshape(8, 8)
+    sh = NamedSharding(mesh, P("data"))
+    xs = jax.device_put(jnp.asarray(x), sh)
+    base = np.asarray(shard_checksums(xs, mesh))
+    # corrupt device 3's shard; detection = checksum divergence at exactly
+    # that device
+    bad = inject_shard_fault(xs, 3, mesh, mode="zero")
+    after = np.asarray(shard_checksums(bad, mesh))
+    diff = np.nonzero(base != after)[0]
+    assert diff.tolist() == [3], (base, after)
+    flip = inject_shard_fault(xs, 5, mesh, mode="flip")
+    # abs-checksum is flip-invariant; values must differ though
+    assert not np.array_equal(np.asarray(flip), np.asarray(xs))
