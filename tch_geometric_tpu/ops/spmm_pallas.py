@@ -98,3 +98,85 @@ def spmm_blocked_auto(b: BlockedCsr, x: jax.Array, *, agg: str = "sum",
     if jax.default_backend() == "tpu" and b.chunk_edges % 128 == 0:
         return spmm_blocked_pallas(b, x, agg=agg, compute_dtype=compute_dtype)
     return spmm_blocked(b, x, agg=agg, compute_dtype=compute_dtype)
+
+
+def quantize_rows(x: jax.Array):
+    """Per-row symmetric int8 quantization: returns (q int8, scale f32)."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = (amax / 127.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(x / jnp.maximum(scale, 1e-12)), -127, 127)
+    return q.astype(jnp.int8), scale[..., 0]
+
+
+def _kernel_q8(chunk_block_ref, lr_ref, sc_ref, q_ref, out_ref):
+    t = pl.program_id(0)
+    blk = chunk_block_ref[t]
+    prev_blk = chunk_block_ref[jnp.maximum(t - 1, 0)]
+    first = jnp.logical_or(t == 0, blk != prev_blk)
+
+    lr = lr_ref[0].reshape(-1)                        # (C,)
+    sc = sc_ref[0].reshape(-1)                        # (C,) f32 row scales
+    W = out_ref.shape[0]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, lr.shape[0]), 0)
+    # fold the dequant scale into the one-hot side: sum_c oh*s_c * q_c
+    oh = jnp.where(iota_w == lr[None, :], sc[None, :], 0.0).astype(jnp.bfloat16)
+    g = q_ref[0].astype(jnp.bfloat16)                 # int8 -> bf16 in VMEM
+    part = jnp.dot(oh, g, preferred_element_type=jnp.float32)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[:] = out_ref[:] + part
+
+
+def spmm_blocked_pallas_q8(b: BlockedCsr, q: jax.Array, row_scale: jax.Array,
+                           *, agg: str = "sum",
+                           interpret: bool = False) -> jax.Array:
+    """Int8-quantized scatter-free SpMM (EXPERIMENTAL).
+
+    ``q``/``row_scale`` from :func:`quantize_rows`; the dequant scale is
+    folded into the one-hot operand so accuracy is ~0.6% max relative.
+
+    Measured on v5e: int8 random-row gathers are several times SLOWER than
+    bf16 (128 B rows fall far below the gather access granularity), so this
+    path currently loses to ``spmm_blocked_pallas`` (81 ms vs 15 ms at
+    E=4M, F=128) — kept as the ready path for hardware/XLA versions with
+    efficient narrow gathers.  See BASELINE.md.
+    """
+    W = b.rows_per_block
+    T, C = b.edge_src.shape
+    F = q.shape[-1]
+    B = b.num_blocks
+    assert C % 128 == 0, "chunk_edges must be a multiple of 128"
+
+    gq = q[b.edge_src]                                # (T, C, F) int8 gather
+    gs = row_scale[b.edge_src]                        # (T, C) f32 gather
+    lr3 = b.edge_local_row.reshape(T, C // 128, 128)
+    sc3 = gs.reshape(T, C // 128, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, C // 128, 128), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, C // 128, 128), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, C, F), lambda t, cb: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((W, F), lambda t, cb: (cb[t], 0)),
+    )
+    out = pl.pallas_call(
+        _kernel_q8,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * W, F), jnp.float32),
+        interpret=interpret,
+    )(b.chunk_block, lr3, sc3, gq)
+
+    out = out[: b.num_rows]
+    if agg == "mean":
+        out = out / jnp.maximum(b.degree, 1)[:, None].astype(out.dtype)
+    elif agg != "sum":
+        raise ValueError(f"unsupported agg {agg!r}")
+    return out

@@ -210,3 +210,21 @@ def test_spmm_pallas_interpret(fake_dataset):
                                          compute_dtype=jnp.float32,
                                          interpret=True))
     assert (got == want).all()
+
+
+def test_spmm_q8_interpret(fake_dataset):
+    from tch_geometric_tpu.ops.spmm_blocked import build_blocked
+    from tch_geometric_tpu.ops.spmm_pallas import (
+        quantize_rows, spmm_blocked_pallas_q8)
+    _x, _y, ei = fake_dataset
+    g = csc_graph_from_coo(ei, 1144)
+    b = build_blocked(np.asarray(g.indptr), np.asarray(g.indices),
+                      rows_per_block=64, chunk_edges=256)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1144, 32))
+                    .astype(np.float32))
+    q, s = quantize_rows(x)
+    want = np.asarray(spmm(g, x, agg="sum"))
+    got = np.asarray(spmm_blocked_pallas_q8(b, q, s, agg="sum",
+                                            interpret=True))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.02, rel
