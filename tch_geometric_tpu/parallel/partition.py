@@ -85,7 +85,7 @@ def ring_spmm(shards: RingShards, x, mesh: Mesh, *, axis: str = "data",
     Pn = shards.num_parts
     Rp = shards.rows_per_part
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -125,7 +125,7 @@ def alltoall_gather(x, halo_req: jax.Array, mesh: Mesh, *,
     ids device d needs from owner s (pad with 0; caller masks).  Returns
     (P, P, R, F) gathered rows, sharded so device d holds its (P, R, F).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @functools.partial(shard_map, mesh=mesh,
                        in_specs=(P(axis), P(axis)), out_specs=P(axis))

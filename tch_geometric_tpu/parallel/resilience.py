@@ -25,7 +25,7 @@ def barrier(mesh: Mesh, *, axis: str = "data",
     Returns True when every device participated in a psum within the
     timeout; False signals a hung/failed device (caller should trigger
     checkpoint-restart)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @functools.partial(shard_map, mesh=mesh, in_specs=P(axis), out_specs=P())
     def _psum_ones(x):
@@ -47,7 +47,7 @@ def shard_checksums(x, mesh: Mesh, *, axis: str = "data") -> jax.Array:
 
     Comparing checksum vectors across runs / before-after an exchange
     detects silent corruption of a shard."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @functools.partial(shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
     def _sum(xs):
@@ -62,7 +62,7 @@ def inject_shard_fault(x, device_index: int, mesh: Mesh, *,
     """Corrupt one device's shard (test hook for the exchange step).
 
     mode: 'zero' wipes the shard; 'flip' negates it."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @functools.partial(shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
     def _corrupt(xs):
