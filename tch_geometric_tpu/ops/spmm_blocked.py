@@ -39,6 +39,7 @@ class BlockedCsr:
     chunk_block: jax.Array     # (T,) int32 row-block id, nondecreasing
     block_start: jax.Array     # (B+1,) int32 first chunk of each block
     degree: jax.Array          # (N,) int32 row degrees (for mean)
+    edge_ptr: jax.Array = None  # (T, C) int32 CSR edge index of each lane
     num_rows: int = struct.field(pytree_node=False, default=0)
     rows_per_block: int = struct.field(pytree_node=False, default=128)
     chunk_edges: int = struct.field(pytree_node=False, default=2048)
@@ -119,10 +120,19 @@ def build_blocked(indptr, indices, *, rows_per_block: int = 128,
         chunk_block=jnp.asarray(chunk_block),
         block_start=jnp.asarray(block_start),
         degree=jnp.asarray(deg.astype(np.int32)),
+        edge_ptr=jnp.asarray(np.where(valid, offs_c, -1).astype(np.int32)),
         num_rows=int(N),
         rows_per_block=W,
         chunk_edges=C,
     )
+
+
+def edge_attr_to_blocked(b: BlockedCsr, attr: jax.Array) -> jax.Array:
+    """Map CSR-edge-ordered per-edge attributes into the (T, C) blocked
+    layout (invalid lanes -> 0).  Inverse of ``b.edge_ptr``."""
+    E = attr.shape[0]
+    vals = attr[jnp.clip(b.edge_ptr, 0, max(E - 1, 0))]
+    return jnp.where(b.edge_valid, vals, jnp.zeros((), attr.dtype))
 
 
 def spmm_blocked(b: BlockedCsr, x: jax.Array, *, agg: str = "sum",

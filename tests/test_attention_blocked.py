@@ -1,0 +1,134 @@
+"""Blocked Pallas attention ops vs the XLA segment-op reference path.
+
+All Pallas calls run with interpret=True (CPU); exactness is checked against
+ops/spmm.py + ops/segment.py, with the blocked<->CSR edge mapping via
+``BlockedCsr.edge_ptr``.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tch_geometric_tpu.ops import (
+    attend_blocked,
+    build_blocked,
+    edge_attr_to_blocked,
+    edge_softmax_blocked,
+    sddmm_blocked_pallas,
+    segment_softmax,
+    spmm_blocked_weighted_pallas,
+)
+from tch_geometric_tpu.ops.segment import csr_row_ids, segment_sum
+
+
+@pytest.fixture(scope="module")
+def graph():
+    rng = np.random.default_rng(7)
+    N, E, F = 300, 4000, 128
+    dst = np.sort(rng.integers(0, N, E))
+    src = rng.integers(0, N, E)
+    indptr = np.searchsorted(dst, np.arange(N + 1)).astype(np.int32)
+    b = build_blocked(indptr, src.astype(np.int32), rows_per_block=128)
+    x_dst = rng.normal(size=(N, F)).astype(np.float32)
+    x_src = rng.normal(size=(N, F)).astype(np.float32)
+    return indptr, src, b, x_dst, x_src
+
+
+def _csr_scores(indptr, src, x_dst, x_src):
+    E = src.shape[0]
+    rows = np.repeat(np.arange(indptr.shape[0] - 1), np.diff(indptr))
+    return (x_dst[rows] * x_src[src]).sum(-1), rows
+
+
+def test_edge_ptr_roundtrip(graph):
+    indptr, src, b, _, _ = graph
+    eptr = np.asarray(b.edge_ptr)
+    valid = np.asarray(b.edge_valid)
+    # every CSR edge appears exactly once among valid lanes
+    assert np.array_equal(np.sort(eptr[valid]), np.arange(src.shape[0]))
+    # lane's source id matches the CSR edge it claims to be
+    assert np.array_equal(np.asarray(b.edge_src)[valid], src[eptr[valid]])
+
+
+def test_edge_attr_to_blocked(graph):
+    _, src, b, _, _ = graph
+    attr = np.arange(src.shape[0], dtype=np.float32) + 1.0
+    blocked = np.asarray(edge_attr_to_blocked(b, jnp.asarray(attr)))
+    valid = np.asarray(b.edge_valid)
+    assert np.array_equal(blocked[valid],
+                          attr[np.asarray(b.edge_ptr)[valid]])
+    assert (blocked[~valid] == 0).all()
+
+
+def test_sddmm_blocked_matches_csr(graph):
+    indptr, src, b, x_dst, x_src = graph
+    s = np.asarray(sddmm_blocked_pallas(b, jnp.asarray(x_dst),
+                                        jnp.asarray(x_src),
+                                        compute_dtype=jnp.float32,
+                                        interpret=True))
+    ref, _rows = _csr_scores(indptr, src, x_dst, x_src)
+    valid = np.asarray(b.edge_valid)
+    eptr = np.asarray(b.edge_ptr)
+    np.testing.assert_allclose(s[valid], ref[eptr[valid]], rtol=2e-5,
+                               atol=1e-4)
+
+
+def test_edge_softmax_blocked(graph):
+    indptr, src, b, x_dst, x_src = graph
+    s = sddmm_blocked_pallas(b, jnp.asarray(x_dst), jnp.asarray(x_src),
+                             compute_dtype=jnp.float32, interpret=True)
+    att = np.asarray(edge_softmax_blocked(b, s, interpret=True))
+    valid = np.asarray(b.edge_valid)
+    assert (att[~valid] == 0).all()
+
+    # per-row sums over valid lanes == 1 where the row has edges
+    W = b.rows_per_block
+    rows = (np.asarray(b.chunk_block)[:, None] * W
+            + np.asarray(b.edge_local_row))
+    deg = np.diff(indptr)
+    sums = np.zeros(b.num_blocks * W)
+    np.add.at(sums, rows[valid], att[valid])
+    np.testing.assert_allclose(sums[: indptr.shape[0] - 1][deg > 0], 1.0,
+                               rtol=1e-5)
+
+    # exact per-edge match vs the XLA segment softmax
+    ref_s, ref_rows = _csr_scores(indptr, src, x_dst, x_src)
+    ref_att = np.asarray(segment_softmax(jnp.asarray(ref_s),
+                                         jnp.asarray(ref_rows),
+                                         indptr.shape[0] - 1))
+    eptr = np.asarray(b.edge_ptr)
+    np.testing.assert_allclose(att[valid], ref_att[eptr[valid]], rtol=2e-5,
+                               atol=1e-6)
+
+
+def test_spmm_blocked_weighted(graph):
+    indptr, src, b, _, x_src = graph
+    E = src.shape[0]
+    rng = np.random.default_rng(3)
+    w_csr = rng.normal(size=(E,)).astype(np.float32)
+    w_blk = edge_attr_to_blocked(b, jnp.asarray(w_csr))
+    out = np.asarray(spmm_blocked_weighted_pallas(
+        b, jnp.asarray(x_src), w_blk, compute_dtype=jnp.float32,
+        interpret=True))
+    rows = np.repeat(np.arange(indptr.shape[0] - 1), np.diff(indptr))
+    ref = np.asarray(segment_sum(
+        jnp.asarray(x_src[src] * w_csr[:, None]), jnp.asarray(rows),
+        indptr.shape[0] - 1))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_attend_blocked_end_to_end(graph):
+    indptr, src, b, x_dst, x_src = graph
+    out = np.asarray(attend_blocked(b, jnp.asarray(x_dst),
+                                    jnp.asarray(x_src),
+                                    compute_dtype=jnp.float32,
+                                    interpret=True))
+    # XLA reference: scaled scores -> segment softmax -> weighted sum
+    F = x_src.shape[-1]
+    ref_s, rows = _csr_scores(indptr, src, x_dst, x_src)
+    ref_att = np.asarray(segment_softmax(
+        jnp.asarray(ref_s / np.sqrt(F)), jnp.asarray(rows),
+        indptr.shape[0] - 1))
+    ref = np.asarray(segment_sum(
+        jnp.asarray(x_src[src] * ref_att[:, None]), jnp.asarray(rows),
+        indptr.shape[0] - 1))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
