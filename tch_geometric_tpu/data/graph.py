@@ -77,6 +77,29 @@ class SparseGraph:
         """Edge pointer -> neighbor node id (graph.rs:72-78 get_by_ptr)."""
         return self.indices[jnp.clip(edge_ptrs, 0, self.num_edges - 1)]
 
+    def gather_neighbor_windows(
+        self, starts: jax.Array, width: int
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Contiguous neighbor windows as one sliced gather.
+
+        Returns ``(win (B, width), delta (B,))`` with
+        ``win[i, delta[i] + j] == indices[starts[i] + j]``.  On TPU a
+        vmapped ``dynamic_slice`` lowers to a gather of contiguous
+        ``width``-element rows — far better HBM granularity than per-edge
+        scalar gathers when ``max_degree <= width``.  Requires
+        ``num_edges >= width``; starts near the array end are shifted left
+        (never out of bounds) and the shift returned as ``delta``
+        (``delta + deg <= width`` always holds since ``starts + deg <= E``).
+        """
+        E = self.num_edges
+        starts = starts.astype(jnp.int32)
+        s2 = jnp.clip(starts, 0, max(E - width, 0))
+        delta = starts - s2
+        win = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(self.indices, (s,), (width,))
+        )(s2)
+        return win, delta
+
     # -- edge membership --------------------------------------------------
     def find_edge(self, u: jax.Array, v: jax.Array) -> jax.Array:
         """Batched ``find_edge`` (graph.rs:85-89): global edge ptr of (u, v)
