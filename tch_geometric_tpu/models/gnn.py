@@ -50,7 +50,10 @@ class GATConv(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, graph: SparseGraph):
+    def __call__(self, x, graph: SparseGraph, blocked=None):
+        """``blocked``: optional ``BlockedCsr`` of the same adjacency — routes
+        attention through the scatter-free Pallas path
+        (ops/attention_blocked.py) instead of XLA segment ops."""
         H = self.heads
         d = self.features // H
         assert self.features % H == 0
@@ -59,10 +62,18 @@ class GATConv(nn.Module):
         a_src = self.param("a_src", nn.initializers.lecun_normal(), (H, d))
         a_dst = self.param("a_dst", nn.initializers.lecun_normal(), (H, d))
 
-        E = graph.num_edges
-        rows = csr_row_ids(graph.indptr, E)             # dst per edge
         alpha_src = (h * a_src[None]).sum(-1)           # (N, H)
         alpha_dst = (h * a_dst[None]).sum(-1)
+        if blocked is not None:
+            from ..ops.attention_blocked import gat_attend_blocked
+            out = gat_attend_blocked(
+                blocked, h, alpha_src, alpha_dst,
+                compute_dtype=jnp.float32 if self.dtype is None else self.dtype,
+                interpret=jax.default_backend() != "tpu")
+            return out.reshape(-1, self.features)
+
+        E = graph.num_edges
+        rows = csr_row_ids(graph.indptr, E)             # dst per edge
         logits = jax.nn.leaky_relu(
             alpha_src[graph.indices] + alpha_dst[rows], 0.2)   # (E, H)
         att = segment_softmax(logits, rows, graph.num_ptr_nodes)

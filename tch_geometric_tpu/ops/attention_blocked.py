@@ -272,6 +272,51 @@ def spmm_blocked_weighted_pallas(b: BlockedCsr, x: jax.Array,
     return out[: b.num_rows]
 
 
+def blocked_dst_rows(b: BlockedCsr) -> jax.Array:
+    """Global dst row id of every blocked lane (invalid lanes clamped into
+    their block — mask with ``b.edge_valid``)."""
+    W = b.rows_per_block
+    return (b.chunk_block[:, None] * W
+            + jnp.minimum(b.edge_local_row, W - 1))
+
+
+def gat_edge_logits_blocked(b: BlockedCsr, alpha_src: jax.Array,
+                            alpha_dst: jax.Array, *,
+                            negative_slope: float = 0.2) -> jax.Array:
+    """GATv1-style additive logits in blocked edge layout (single head).
+
+    ``alpha_src``/``alpha_dst``: (N,) per-node projections.  Returns (T, C)
+    f32 ``leaky_relu(alpha_src[src(e)] + alpha_dst[dst(e)])``.
+    """
+    rows = jnp.clip(blocked_dst_rows(b), 0, alpha_dst.shape[0] - 1)
+    s = (alpha_src[b.edge_src].astype(jnp.float32)
+         + alpha_dst[rows].astype(jnp.float32))
+    return jax.nn.leaky_relu(s, negative_slope)
+
+
+def gat_attend_blocked(b: BlockedCsr, h: jax.Array, alpha_src: jax.Array,
+                       alpha_dst: jax.Array, *,
+                       negative_slope: float = 0.2,
+                       compute_dtype=jnp.bfloat16,
+                       interpret: bool = False) -> jax.Array:
+    """Full GAT attention aggregation on the blocked layout, multi-head.
+
+    ``h``: (N, H, d) projected features; ``alpha_src``/``alpha_dst``: (N, H)
+    per-head logits.  Returns (num_rows, H, d) float32.  Heads run as a
+    python loop of single-head kernel calls (H is small and static).
+    """
+    outs = []
+    for hd in range(alpha_src.shape[-1]):
+        logits = gat_edge_logits_blocked(b, alpha_src[:, hd],
+                                         alpha_dst[:, hd],
+                                         negative_slope=negative_slope)
+        att = edge_softmax_blocked(b, logits, interpret=interpret)
+        outs.append(spmm_blocked_weighted_pallas(
+            b, h[:, hd, :], att, compute_dtype=compute_dtype,
+            interpret=interpret))
+    return jnp.stack(outs, axis=1)
+
+
 def attend_blocked(b: BlockedCsr, x_dst: jax.Array, x_src: jax.Array, *,
                    scale: float | None = None,
                    compute_dtype=jnp.bfloat16,

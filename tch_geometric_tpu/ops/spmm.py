@@ -9,8 +9,10 @@ Two paths:
 * ``spmm_xla``: gather + sorted segment-sum.  XLA lowers this to a dynamic
   gather + scatter-add pair; it is the correctness baseline and is already
   memory-bound on TPU for F >= 128.
-* ``spmm_pallas`` (ops/spmm_pallas.py): row-blocked Pallas kernel with
-  double-buffered row DMA, for the roofline benchmark path.
+* ``spmm_blocked_pallas`` (ops/spmm_pallas.py): scatter-free blocked-ELL
+  kernel — one-hot local-row contraction on the MXU with in-VMEM per-block
+  accumulation — for the roofline benchmark path.  Attention variants
+  (SDDMM, online edge softmax, weighted SpMM) in ops/attention_blocked.py.
 
 The sampled-batch path does NOT go through SpMM at all: padded tree samples
 aggregate by reshape + masked mean (see models/sage.py), which is pure dense

@@ -132,3 +132,22 @@ def test_attend_blocked_end_to_end(graph):
         jnp.asarray(x_src[src] * ref_att[:, None]), jnp.asarray(rows),
         indptr.shape[0] - 1))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_gat_conv_blocked_matches_xla(graph):
+    """GATConv with blocked= routes through the Pallas path; outputs match."""
+    import jax
+    from tch_geometric_tpu.data.graph import make_graph
+    from tch_geometric_tpu.models.gnn import GATConv
+
+    indptr, src, b, x_dst, _ = graph
+    N = indptr.shape[0] - 1
+    g = make_graph(indptr, src.astype(np.int32), num_src=N, num_dst=N)
+    x = jnp.asarray(x_dst[:, :16])
+
+    conv = GATConv(features=8, heads=2)
+    params = conv.init(jax.random.key(0), x, g)
+    ref = conv.apply(params, x, g)
+    out = conv.apply(params, x, g, blocked=b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
