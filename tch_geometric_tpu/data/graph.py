@@ -83,13 +83,16 @@ class SparseGraph:
         """Contiguous neighbor windows as one sliced gather.
 
         Returns ``(win (B, width), delta (B,))`` with
-        ``win[i, delta[i] + j] == indices[starts[i] + j]``.  On TPU a
-        vmapped ``dynamic_slice`` lowers to a gather of contiguous
-        ``width``-element rows — far better HBM granularity than per-edge
-        scalar gathers when ``max_degree <= width``.  Requires
-        ``num_edges >= width``; starts near the array end are shifted left
-        (never out of bounds) and the shift returned as ``delta``
-        (``delta + deg <= width`` always holds since ``starts + deg <= E``).
+        ``win[i, delta[i] + j] == indices[starts[i] + j]``.  Starts near the
+        array end are shifted left (never out of bounds) and the shift is
+        returned as ``delta`` (``delta + deg <= width`` always holds since
+        ``starts + deg <= E``).  Requires ``num_edges >= width``.
+
+        NEGATIVE RESULT (measured, v5e): vmapped ``dynamic_slice`` lowers to
+        ~1.2 us PER SLICE (94 ms for 76800x64) — 12x slower than even the
+        per-edge scalar gather it was meant to replace.  Use the aligned
+        row-gather tables (``make_gather_table`` / sampling fast paths)
+        instead; kept for CPU-side use and as documentation.
         """
         E = self.num_edges
         starts = starts.astype(jnp.int32)

@@ -18,6 +18,8 @@ from .spmm_pallas import spmm_blocked_auto, spmm_blocked_pallas
 from .attention_blocked import (
     attend_blocked,
     edge_softmax_blocked,
+    gat_attend_blocked,
+    gat_edge_logits_blocked,
     sddmm_blocked_pallas,
     spmm_blocked_weighted_pallas,
 )

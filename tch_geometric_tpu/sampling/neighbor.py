@@ -102,19 +102,6 @@ def _filter_mask_fn(filter_cfg, timestamps, state):
     return mask_at
 
 
-def _window_gather_width(graph: CscGraph, cap: int = 256):
-    """Static window width for the contiguous-row neighbor fetch, or None.
-
-    Worth it only when every row fits one window (``max_degree <= cap``) and
-    the edge array can serve full-width slices."""
-    d = max(int(graph.max_degree), 1)
-    width = 1 << (d - 1).bit_length()
-    width = max(width, 8)
-    if d <= cap and graph.num_edges >= width:
-        return width
-    return None
-
-
 def _sample_one_hop(
     key,
     graph: CscGraph,
@@ -155,16 +142,7 @@ def _sample_one_hop(
             logw_at=logw_at, mask_at=mask_at, window=window)
 
     eptr = jnp.clip(starts[..., None] + pos, 0, max(graph.num_edges - 1, 0))
-    # Neighbor-id fetch: for low-max-degree graphs, one contiguous-window
-    # row gather (good HBM granularity) + in-register select beats the
-    # per-edge scalar gather by a wide margin; width is static per graph.
-    width = _window_gather_width(graph)
-    if width is not None:
-        win, delta = graph.gather_neighbor_windows(starts, width)
-        neighbor = jnp.take_along_axis(
-            win, jnp.clip(pos + delta[..., None], 0, width - 1), axis=-1)
-    else:
-        neighbor = graph.gather_neighbors(eptr)
+    neighbor = graph.gather_neighbors(eptr)
 
     # State propagation (TemporalFilter::mutate, rs:69-76).
     if filter_cfg is not None and filter_cfg.mode == TEMPORAL_SAMPLE_DYNAMIC:
