@@ -228,3 +228,42 @@ def test_spmm_q8_interpret(fake_dataset):
                                             interpret=True))
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 0.02, rel
+
+
+def test_multibatch_trainer_matches_sequential(karate):
+    """One fused M=3 multibatch step == 3 sequential single-batch steps."""
+    import jax
+    import jax.numpy as jnp
+    from tch_geometric_tpu.data import csc_graph_from_coo
+    from tch_geometric_tpu.models import GraphSAGE
+    from tch_geometric_tpu.parallel import (
+        make_multibatch_sage_trainer, make_sage_trainer)
+
+    x, y, edge_index = karate
+    graph = csc_graph_from_coo(edge_index, 34)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+    model = GraphSAGE(hidden=16, out=int(y.max()) + 1, num_layers=2)
+    key = jax.random.key(42)
+    M, B = 3, 8
+    seeds = jnp.arange(M * B, dtype=jnp.int32).reshape(M, B) % 34
+    labels = yj[seeds]
+
+    init1, step1, _ = make_sage_trainer(model, [4, 3], learning_rate=1e-2)
+    initM, stepM = make_multibatch_sage_trainer(model, [4, 3],
+                                                learning_rate=1e-2)
+    s1 = init1(key, graph, xj, seeds[0])
+    sM = initM(key, graph, xj, seeds[0])
+    # same init (identical model/key): start from the single-batch state
+    sM = sM._replace(params=s1.params, opt_state=s1.opt_state, step=s1.step)
+
+    for m in range(M):
+        s1, loss1, _ = step1(s1, key, graph, xj, seeds[m], labels[m])
+    sM, lossesM, _ = stepM(sM, key, graph, xj, seeds, labels)
+
+    assert int(s1.step) == int(sM.step) == M
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    flatM = jax.tree_util.tree_leaves(sM.params)
+    for a, b in zip(flat1, flatM):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(lossesM[-1]), float(loss1), rtol=1e-5)
