@@ -20,12 +20,12 @@ G = 64
 
 def timeit(name, fn, *args):
     t0 = time.time()
-    jax.block_until_ready(fn(*args))
+    float(jax.device_get(fn(*args)))   # host fetch = true tunnel barrier
     print(f"{name}: compile {time.time()-t0:.0f}s", flush=True)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        float(jax.device_get(fn(*args)))
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times)) / K
     print(f"{name}: {dt*1e3:.3f} ms/iter", flush=True)

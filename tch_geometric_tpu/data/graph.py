@@ -32,6 +32,39 @@ def _bisect_iters(max_degree: int) -> int:
     return max(1, math.ceil(math.log2(max(int(max_degree), 1) + 1)))
 
 
+# Aligned-window gather table: `indices` reshaped to 64-lane rows.  A
+# neighbor window starting anywhere and spanning <= max_degree elements is
+# covered by `window_row_count` consecutive rows (start%64 <= 63 lanes of
+# lead-in plus the window itself).
+WINDOW_LANES = 64
+# Only build/use the row table when a window fits in this many rows: the
+# per-node fetch is R*256 B, so large-max-degree graphs (hubs) fall back to
+# per-edge scalar gathers instead of dragging huge windows per node.
+MAX_WINDOW_ROWS = 8
+
+
+def window_row_count(max_degree: int) -> int:
+    """Rows of WINDOW_LANES covering any window of <= max_degree lanes."""
+    return -(-(WINDOW_LANES - 1 + max(int(max_degree), 1)) // WINDOW_LANES)
+
+
+# ELL neighbor-row layout: one aligned row per node packing everything the
+# uniform sampler needs, so a whole hop costs exactly ONE gather access per
+# frontier node (measured: minibatch-scale gathers are issue-rate-bound at
+# ~17-30 ns per access regardless of 4 B vs 256 B — scripts/micro_rowgather).
+# Row layout (width W, int32): lanes [0, W-2) neighbor ids (padded), lane
+# W-2 = row degree, lane W-1 = CSR/CSC window start (the global edge ptr of
+# lane 0), so sampled-edge eptrs come from arithmetic, not an indptr gather.
+ELL_WIDTHS = (64, 128)          # 256 B / 512 B rows
+
+
+def ell_width_for(max_degree: int) -> Optional[int]:
+    for w in ELL_WIDTHS:
+        if max_degree <= w - 2:
+            return w
+    return None
+
+
 @struct.dataclass
 class SparseGraph:
     """CSR- or CSC-shaped adjacency. Orientation is by convention:
@@ -49,6 +82,15 @@ class SparseGraph:
     indptr: jax.Array          # (N+1,) int32/int64
     indices: jax.Array         # (E,) node ids, sorted within each row
     perm: Optional[jax.Array] = None  # (E,) sorted-edge -> original-edge id
+    # Optional aligned-window gather table: indices padded to a multiple of
+    # WINDOW_LANES and reshaped (rows, WINDOW_LANES).  Costs one extra copy
+    # of `indices` in HBM; lets the samplers fetch whole neighbor windows as
+    # 256 B row gathers instead of per-edge scalar gathers.
+    indices_win: Optional[jax.Array] = None
+    # Optional ELL neighbor rows (N, W) int32 — see ELL_WIDTHS above.  One
+    # gather per frontier node replaces indptr pair + per-edge id gathers in
+    # the uniform sampling hot path.  Memory: N*W*4 bytes.
+    ell: Optional[jax.Array] = None
     # Static metadata (not traced; changing it retriggers compilation).
     num_src: int = struct.field(pytree_node=False, default=0)
     num_dst: int = struct.field(pytree_node=False, default=0)
@@ -103,6 +145,40 @@ class SparseGraph:
         )(s2)
         return win, delta
 
+    def gather_neighbor_windows_rows(
+        self, starts: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Whole neighbor windows via the aligned row table.
+
+        Returns ``(win (B, R*64), off (B,))`` with
+        ``win[i, off[i] + j] == indices[starts[i] + j]`` for every
+        ``j < deg(i)`` (lanes outside that range are arbitrary).  ``R`` is
+        the static :func:`window_row_count` of ``max_degree``.  One (B, R)
+        row gather of 256 B rows replaces per-edge scalar gathers — the
+        winning layout per scripts/micro_window_select.py (the vmapped
+        ``dynamic_slice`` variant below was 12x WORSE; see its docstring).
+        """
+        assert self.indices_win is not None
+        R = window_row_count(self.max_degree)
+        starts = starts.astype(jnp.int32)
+        r0 = starts // WINDOW_LANES
+        rows = r0[:, None] + jnp.arange(R, dtype=jnp.int32)[None, :]
+        # Trailing rows may run past the table for windows near the end of
+        # `indices`; clipping only affects lanes >= off + deg (never valid).
+        rows = jnp.clip(rows, 0, self.indices_win.shape[0] - 1)
+        win = self.indices_win[rows].reshape(starts.shape[0], R * WINDOW_LANES)
+        return win, starts % WINDOW_LANES
+
+    def ell_rows(self, nodes: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """One-access-per-node neighbor fetch via the ELL table.
+
+        Returns ``(neigh (B, W-2), deg (B,), start (B,))``: the padded
+        neighbor lanes, row degree, and the global edge ptr of lane 0.
+        """
+        assert self.ell is not None
+        row = self.ell[jnp.clip(nodes, 0, self.ell.shape[0] - 1)]
+        return row[..., :-2], row[..., -2], row[..., -1]
+
     # -- edge membership --------------------------------------------------
     def find_edge(self, u: jax.Array, v: jax.Array) -> jax.Array:
         """Batched ``find_edge`` (graph.rs:85-89): global edge ptr of (u, v)
@@ -148,14 +224,57 @@ def make_graph(
     *,
     num_src: int,
     num_dst: int,
+    window_table: Optional[bool] = None,
+    ell_table: Optional[bool] = None,
 ) -> SparseGraph:
-    """Build a graph container, computing static max_degree on host."""
+    """Build a graph container, computing static max_degree on host.
+
+    ``ell_table=None`` builds the one-access-per-node ELL rows automatically
+    when ``max_degree`` fits an ELL width; ``window_table=None`` builds the
+    aligned-window gather table when ELL doesn't apply but windows fit in
+    ``MAX_WINDOW_ROWS`` rows.  True/False forces either.
+    """
     indptr_np = np.asarray(indptr)
+    indices_np = np.asarray(indices)
+    E = indices_np.shape[0]
     max_deg = int(np.max(np.diff(indptr_np))) if indptr_np.shape[0] > 1 else 0
+
+    # ELL rows: preferred fast path (1 access per node per hop).
+    ell = None
+    W = ell_width_for(max_deg)
+    if ell_table is None:
+        ell_table = E > 0 and W is not None
+    if ell_table and E > 0 and W is not None:
+        N = indptr_np.shape[0] - 1
+        starts = indptr_np[:-1].astype(np.int64)
+        deg = np.diff(indptr_np).astype(np.int64)
+        rows = np.empty((N, W), dtype=np.int32)
+        lane = np.arange(W - 2, dtype=np.int64)[None, :]
+        CH = 1 << 19                       # chunk rows: bounds host temporaries
+        for lo in range(0, N, CH):
+            hi = min(lo + CH, N)
+            offs = starts[lo:hi, None] + lane
+            rows[lo:hi, : W - 2] = indices_np[np.minimum(offs, max(E - 1, 0))]
+        rows[:, W - 2] = deg
+        rows[:, W - 1] = starts
+        ell = jnp.asarray(rows)
+
+    # Aligned-window table: fallback fast path for larger max_degree.
+    indices_win = None
+    if window_table is None:
+        window_table = (ell is None and E > 0
+                        and window_row_count(max_deg) <= MAX_WINDOW_ROWS)
+    if window_table and E > 0:
+        pad = -E % WINDOW_LANES
+        flat = np.pad(indices_np.astype(np.int32), (0, pad))
+        indices_win = jnp.asarray(flat.reshape(-1, WINDOW_LANES))
+
     return SparseGraph(
         indptr=jnp.asarray(indptr),
         indices=jnp.asarray(indices),
         perm=None if perm is None else jnp.asarray(perm),
+        indices_win=indices_win,
+        ell=ell,
         num_src=int(num_src),
         num_dst=int(num_dst),
         max_degree=max_deg,

@@ -102,6 +102,20 @@ def _filter_mask_fn(filter_cfg, timestamps, state):
     return mask_at
 
 
+def _select_lanes(lanes: jax.Array, pos: jax.Array) -> jax.Array:
+    """Select ``lanes[i, pos[i, s]]`` without a gather.
+
+    ``take_along_axis`` lowers to an HBM gather of the materialised lane
+    tensor (measured: it gives back the entire ELL win, 20.7 vs 18.6 ms
+    step); an explicit one-hot compare + masked sum stays a fused VPU
+    reduction over the already-fetched rows.
+    """
+    W = lanes.shape[-1]
+    lane_iota = jnp.arange(W, dtype=jnp.int32)
+    oh = pos[..., None] == lane_iota                    # (B, k, W) bool
+    return jnp.sum(jnp.where(oh, lanes[..., None, :], 0), axis=-1)
+
+
 def _sample_one_hop(
     key,
     graph: CscGraph,
@@ -118,8 +132,18 @@ def _sample_one_hop(
 ):
     """Sample <=k in-edges for each frontier node. Returns
     (eptr (B,k), neighbor (B,k), valid (B,k), new_state (B,k))."""
-    starts, ends = graph.neighbors_range(jnp.clip(frontier, 0, graph.num_ptr_nodes - 1))
-    degs = jnp.where(frontier_valid, ends - starts, 0)
+    ell_lanes = None
+    if graph.ell is not None:
+        # One gather access per frontier node fetches padded neighbor ids,
+        # degree AND window start (data/graph.py ELL layout) — replacing the
+        # indptr pair + per-edge id gathers that dominate sampling time.
+        ell_lanes, deg_l, starts = graph.ell_rows(
+            jnp.clip(frontier, 0, graph.num_ptr_nodes - 1))
+        degs = jnp.where(frontier_valid, deg_l, 0)
+    else:
+        starts, ends = graph.neighbors_range(
+            jnp.clip(frontier, 0, graph.num_ptr_nodes - 1))
+        degs = jnp.where(frontier_valid, ends - starts, 0)
 
     mask_at = None
     if filter_cfg is not None:
@@ -142,7 +166,21 @@ def _sample_one_hop(
             logw_at=logw_at, mask_at=mask_at, window=window)
 
     eptr = jnp.clip(starts[..., None] + pos, 0, max(graph.num_edges - 1, 0))
-    neighbor = graph.gather_neighbors(eptr)
+    if ell_lanes is not None:
+        # Every engine emits window-relative positions < max_degree <= W-2,
+        # so sampled ids select locally from the already-fetched ELL lanes.
+        sel = jnp.clip(pos, 0, ell_lanes.shape[-1] - 1)
+        neighbor = _select_lanes(ell_lanes, sel).astype(graph.indices.dtype)
+    elif graph.indices_win is not None:
+        # Aligned-window fast path: one (B, R) gather of 256 B rows covers
+        # every node's whole neighbor window, then the k sampled lanes are
+        # selected locally — replacing B*k per-edge scalar gathers (the
+        # sampler's dominant cost at scale; scripts/micro_window_select.py).
+        win, off = graph.gather_neighbor_windows_rows(starts)
+        neighbor = _select_lanes(win, off[..., None] + pos)
+        neighbor = neighbor.astype(graph.indices.dtype)
+    else:
+        neighbor = graph.gather_neighbors(eptr)
 
     # State propagation (TemporalFilter::mutate, rs:69-76).
     if filter_cfg is not None and filter_cfg.mode == TEMPORAL_SAMPLE_DYNAMIC:

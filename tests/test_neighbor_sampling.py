@@ -155,3 +155,40 @@ def test_parity_entrypoint(karate, karate_csc):
         key=jax.random.key(11))
     validate_neighbor_samples(col_ptrs, row_indices, samples, samples,
                               rows, cols, offs, FANOUTS)
+
+
+def test_window_fast_path_matches_scalar_gather():
+    """The aligned-window id fetch must be bit-identical to the per-edge
+    scalar gather it replaces (same positions, same ids), including windows
+    near the end of `indices` where trailing table rows are clipped."""
+    from tch_geometric_tpu.data.graph import make_graph
+
+    rng = np.random.default_rng(3)
+    N, E = 500, 4000
+    ei = np.stack([rng.integers(0, N, E), rng.integers(0, N, E)])
+    col_ptrs, row_indices, _ = to_csc(ei, N)
+    g_ell = make_graph(col_ptrs, row_indices, num_src=N, num_dst=N,
+                       ell_table=True)
+    g_win = make_graph(col_ptrs, row_indices, num_src=N, num_dst=N,
+                       ell_table=False, window_table=True)
+    g_plain = make_graph(col_ptrs, row_indices, num_src=N, num_dst=N,
+                         ell_table=False, window_table=False)
+    assert g_ell.ell is not None
+    assert g_win.ell is None and g_win.indices_win is not None
+    assert g_plain.ell is None and g_plain.indices_win is None
+
+    # include the last nodes so windows touch the end of `indices`
+    seeds = np.concatenate([rng.integers(0, N, 32), np.arange(N - 8, N)])
+    w = np.abs(rng.normal(size=row_indices.shape[0])).astype(np.float64) + 0.1
+    for sampler in (tgt.UniformEdgeSampler(False), tgt.UniformEdgeSampler(True),
+                    tgt.WeightedEdgeSampler(w)):
+        outs = [sample_neighbors(g, seeds, [5, 3], key=jax.random.key(2),
+                                 sampler=sampler)
+                for g in (g_ell, g_win, g_plain)]
+        ref = outs[-1]
+        valid = np.asarray(ref.node_valid)
+        for a in outs[:-1]:
+            assert np.array_equal(np.asarray(a.node_valid), valid)
+            assert np.array_equal(np.asarray(a.nodes)[valid],
+                                  np.asarray(ref.nodes)[valid])
+            assert np.array_equal(np.asarray(a.eptr), np.asarray(ref.eptr))
