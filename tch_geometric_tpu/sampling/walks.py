@@ -65,37 +65,76 @@ def _random_walk_impl(key, graph: CsrGraph, start, walk_length: int,
     prob1 = 1.0 / max_prob     # distance-1 (triangle) node
     prob2 = inv_q / max_prob   # distance-2 node
 
+    use_ell = graph.ell is not None
+
     def step(carry, step_key):
-        prev, cur, active = carry
-        starts, ends = graph.neighbors_range(jnp.clip(cur, 0, graph.num_ptr_nodes - 1))
-        deg = ends - starts
+        if use_ell:
+            # ELL path: the walker carries its CURRENT node's neighbor row,
+            # so each trial costs ONE row access (the candidate's row, also
+            # needed as next step's carry) and the distance-1 probe
+            # ``has_edge(cand, prev)`` becomes a VPU compare of ``prev``
+            # against the candidate's fetched lanes — replacing the
+            # log(max_degree) binary-search gathers per trial.
+            prev, cur, active, cur_lanes, cur_deg = carry
+            deg = cur_deg
+        else:
+            prev, cur, active = carry
+            starts, ends = graph.neighbors_range(
+                jnp.clip(cur, 0, graph.num_ptr_nodes - 1))
+            deg = ends - starts
         active = jnp.logical_and(active, deg > 0)  # dead end breaks the walk
 
         chosen = jnp.full((B,), -1, jnp.int32)
         accepted = jnp.zeros((B,), jnp.bool_)
+        if use_ell:
+            W = cur_lanes.shape[-1]
+            lane_iota = jnp.arange(W, dtype=jnp.int32)
+            chosen_lanes = cur_lanes
+            chosen_deg = cur_deg
         for t in range(num_trials):
             tkey = jax.random.fold_in(step_key, t)
             pos = jax.random.randint(tkey, (B,), 0, jnp.maximum(deg, 1))
-            cand = graph.gather_neighbors(starts + pos)
+            if use_ell:
+                cand = jnp.sum(jnp.where(pos[:, None] == lane_iota,
+                                         cur_lanes, 0), axis=-1)
+                cand_lanes, cand_deg, _ = graph.ell_rows(
+                    jnp.clip(cand, 0, graph.num_ptr_nodes - 1))
+                lane_valid = lane_iota < cand_deg[:, None]
+                is_tri = jnp.any(jnp.logical_and(
+                    cand_lanes == prev[:, None], lane_valid), axis=-1)
+            else:
+                cand = graph.gather_neighbors(starts + pos)
+                is_tri = graph.has_edge(cand, prev)  # binary search (rs:59)
             r = jax.random.uniform(jax.random.fold_in(tkey, 1), (B,))
             is_back = cand == prev
-            is_tri = graph.has_edge(cand, prev)  # binary search (rs:59)
             acc = jnp.where(is_back, r < prob0,
                             jnp.where(is_tri, r < prob1, r < prob2))
             take = jnp.logical_and(jnp.logical_not(accepted), acc)
-            chosen = jnp.where(take, cand, chosen)
-            accepted = jnp.logical_or(accepted, acc)
             if t == num_trials - 1:  # bounded-bias fallback: accept last draw
-                take = jnp.logical_not(accepted)
-                chosen = jnp.where(take, cand, chosen)
+                take = jnp.logical_or(take, jnp.logical_not(accepted))
+            chosen = jnp.where(take, cand, chosen)
+            if use_ell:
+                chosen_lanes = jnp.where(take[:, None], cand_lanes, chosen_lanes)
+                chosen_deg = jnp.where(take, cand_deg, chosen_deg)
+            accepted = jnp.logical_or(accepted, acc)
 
         nxt = jnp.where(active, chosen, -1)
         new_prev = jnp.where(active, cur, prev)
         new_cur = jnp.where(active, nxt, cur)
+        if use_ell:
+            new_lanes = jnp.where(active[:, None], chosen_lanes, cur_lanes)
+            new_deg = jnp.where(active, chosen_deg, cur_deg)
+            return (new_prev, new_cur, active, new_lanes, new_deg), nxt
         return (new_prev, new_cur, active), nxt
 
     step_keys = jax.random.split(key, walk_length)
-    init = (jnp.full((B,), -1, jnp.int32), start, jnp.ones((B,), jnp.bool_))
+    if use_ell:
+        lanes0, deg0, _ = graph.ell_rows(
+            jnp.clip(start, 0, graph.num_ptr_nodes - 1))
+        init = (jnp.full((B,), -1, jnp.int32), start,
+                jnp.ones((B,), jnp.bool_), lanes0, deg0)
+    else:
+        init = (jnp.full((B,), -1, jnp.int32), start, jnp.ones((B,), jnp.bool_))
     _, steps = jax.lax.scan(step, init, step_keys)
     return jnp.concatenate([start[:, None], steps.T.astype(jnp.int32)], axis=1)
 
@@ -111,6 +150,8 @@ def random_walk(row_ptrs, col_indices, start, walk_length: int,
     if key is None:
         key = rng.next_key()
     graph = _csr_from_parts(row_ptrs, col_indices)
+    if p == 1.0 and q == 1.0:
+        num_trials = 1       # accept probability is 1: first draw always wins
     walks = _random_walk_impl(key, graph, jnp.asarray(start), int(walk_length),
                               jnp.float32(p), jnp.float32(q), int(num_trials))
     return np.asarray(walks).astype(np.int64)

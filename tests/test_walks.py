@@ -117,3 +117,25 @@ def test_walk_determinism(karate_csr):
     w1 = tgt.random_walk(row_ptrs, col_indices, start, 8, key=jax.random.key(9))
     w2 = tgt.random_walk(row_ptrs, col_indices, start, 8, key=jax.random.key(9))
     assert np.array_equal(w1, w2)
+
+
+def test_node2vec_ell_matches_plain(karate_csr):
+    """The ELL carried-row walk must be bit-identical to the gather +
+    binary-search path (same RNG sequence, same accept decisions)."""
+    from tch_geometric_tpu.data.graph import make_graph
+    from tch_geometric_tpu.sampling.walks import _random_walk_impl
+
+    row_ptrs, col_indices, _ = karate_csr
+    n = row_ptrs.shape[0] - 1
+    g_ell = make_graph(row_ptrs, col_indices, num_src=n,
+                       num_dst=n, ell_table=True)
+    g_plain = make_graph(row_ptrs, col_indices, num_src=n,
+                         num_dst=n, ell_table=False, window_table=False)
+    assert g_ell.ell is not None and g_plain.ell is None
+    start = jax.numpy.arange(8)
+    for p, q in ((2.0, 0.5), (1.0, 1.0), (0.25, 4.0)):
+        a = _random_walk_impl(jax.random.key(3), g_ell, start, 12,
+                              jax.numpy.float32(p), jax.numpy.float32(q), 8)
+        b = _random_walk_impl(jax.random.key(3), g_plain, start, 12,
+                              jax.numpy.float32(p), jax.numpy.float32(q), 8)
+        assert np.array_equal(np.asarray(a), np.asarray(b)), (p, q)
