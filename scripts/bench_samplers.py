@@ -39,13 +39,18 @@ results = {}
 
 
 def chain_time(name, call, key):
-    """K chained calls; next key folds in previous output checksum."""
+    """K chained calls; next key folds in previous output checksum.
+
+    Warmup fetches the checksum to HOST: block_until_ready on a tunneled
+    buffer does not wait for compile/transfer to finish, so without the
+    fetch the first timed loop absorbs the graph upload (measured: a 50 MB
+    graph made whichever sampler ran first look 40x slower)."""
     out, chk = call(key)
-    jax.block_until_ready(out)
+    int(jax.device_get(chk))
     t0 = time.time()
     out, chk = call(key)
-    jax.block_until_ready(out)
-    print(f"{name}: warm dispatch {time.time()-t0:.2f}s", flush=True)
+    int(jax.device_get(chk))
+    print(f"{name}: warm step {time.time()-t0:.2f}s", flush=True)
     t0 = time.perf_counter()
     k = key
     for _ in range(K):

@@ -47,6 +47,7 @@ from flax import struct
 from ..data.graph import CscGraph, make_graph
 from ..utils.types import NAN_TIMESTAMP, EdgeType, NodeType, RelType, rel_key
 from . import primitives, rng
+from .neighbor import sample_edges_uniform
 
 MAX_NEIGHBORS = 50  # rs:10
 
@@ -178,14 +179,9 @@ def _budget_sampling_impl(
             cand_ok = []
             for pos_r, (ri, r, src) in enumerate(t_rels):
                 g = graphs[r]
-                starts, ends = g.neighbors_range(
-                    jnp.clip(frontier, 0, g.num_ptr_nodes - 1))
-                deg = jnp.where(fvalid, ends - starts, 0)
-                pos, pvalid = primitives.floyd_sample(
-                    rng.fold(key, ell, ri), deg, MAX_NEIGHBORS)
-                eptr = jnp.clip(starts[:, None] + pos, 0,
-                                max(g.num_edges - 1, 0))
-                v = g.gather_neighbors(eptr)
+                _deg, _pos, pvalid, eptr, v = sample_edges_uniform(
+                    rng.fold(key, ell, ri), g, frontier, fvalid,
+                    MAX_NEIGHBORS)
                 if edge_ts is not None and r in edge_ts:
                     vts = edge_ts[r][eptr]
                     vts = jnp.where(vts == NAN_TIMESTAMP, fstate[:, None], vts)

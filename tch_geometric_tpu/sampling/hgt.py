@@ -42,6 +42,7 @@ from flax import struct
 from ..data.graph import CscGraph, make_graph
 from ..utils.types import NAN_TIMESTAMP, EdgeType, NodeType, RelType, rel_key
 from . import primitives, rng
+from .neighbor import sample_edges_uniform
 
 MAX_NEIGHBORS = 50  # rs:10
 
@@ -83,12 +84,8 @@ def _update_budget(
         wv = new_valid[dst]
         wts = new_ts[dst]
         g = graphs[r]
-        starts, ends = g.neighbors_range(jnp.clip(w, 0, g.num_ptr_nodes - 1))
-        deg = jnp.where(wv, ends - starts, 0)
-        pos, pvalid = primitives.floyd_sample(
-            rng.fold(key, ri), deg, MAX_NEIGHBORS)
-        eptr = jnp.clip(starts[:, None] + pos, 0, max(g.num_edges - 1, 0))
-        v = g.gather_neighbors(eptr)                      # (m, 50) src ids
+        deg, _pos, pvalid, eptr, v = sample_edges_uniform(
+            rng.fold(key, ri), g, w, wv, MAX_NEIGHBORS)   # (m, 50) src ids
         # Line 2: inverse of the capped neighbor count (rs:72-73).
         ncount = jnp.minimum(deg, MAX_NEIGHBORS)
         inv_deg = jnp.where(ncount > 0, 1.0 / jnp.maximum(ncount, 1), 0.0)
@@ -220,12 +217,8 @@ def _hgt_sampling_impl(
             evalids[r] = jnp.zeros((0,), jnp.bool_)
             continue
         g = graphs[r]
-        starts, ends = g.neighbors_range(jnp.clip(w, 0, g.num_ptr_nodes - 1))
-        deg = jnp.where(node_valid[dst], ends - starts, 0)
-        pos, pvalid = primitives.floyd_sample(
-            rng.fold(key, 3, ri), deg, MAX_NEIGHBORS)
-        eptr = jnp.clip(starts[:, None] + pos, 0, max(g.num_edges - 1, 0))
-        v = g.gather_neighbors(eptr)
+        _deg, _pos, pvalid, eptr, v = sample_edges_uniform(
+            rng.fold(key, 3, ri), g, w, node_valid[dst], MAX_NEIGHBORS)
         keep = jnp.logical_and(pvalid, in_sample[src][v])
         rows[r] = jnp.where(keep, local_id[src][v], 0).reshape(-1)
         cols[r] = jnp.broadcast_to(

@@ -116,6 +116,34 @@ def _select_lanes(lanes: jax.Array, pos: jax.Array) -> jax.Array:
     return jnp.sum(jnp.where(oh, lanes[..., None, :], 0), axis=-1)
 
 
+def sample_edges_uniform(key, graph: CscGraph, frontier, frontier_valid,
+                         k: int):
+    """Uniform k-subset of each frontier node's edges, ELL-accelerated.
+
+    The shared hot pattern of the HGT/budget samplers (reference
+    rs budget/hgt update loops): per node, choose ``min(k, deg)`` distinct
+    in-edges.  Returns ``(deg (B,), pos (B,k), pvalid (B,k), eptr (B,k),
+    v (B,k))`` where ``v`` are the neighbor ids.  Uses one ELL row access
+    per node when the table exists, else indptr pair + per-edge gathers.
+    """
+    if graph.ell is not None:
+        lanes, deg_l, starts = graph.ell_rows(
+            jnp.clip(frontier, 0, graph.num_ptr_nodes - 1))
+        deg = jnp.where(frontier_valid, deg_l, 0)
+    else:
+        starts, ends = graph.neighbors_range(
+            jnp.clip(frontier, 0, graph.num_ptr_nodes - 1))
+        deg = jnp.where(frontier_valid, ends - starts, 0)
+    pos, pvalid = primitives.floyd_sample(key, deg, k)
+    eptr = jnp.clip(starts[:, None] + pos, 0, max(graph.num_edges - 1, 0))
+    if graph.ell is not None:
+        v = _select_lanes(lanes, jnp.clip(pos, 0, lanes.shape[-1] - 1))
+        v = v.astype(graph.indices.dtype)
+    else:
+        v = graph.gather_neighbors(eptr)
+    return deg, pos, pvalid, eptr, v
+
+
 def _sample_one_hop(
     key,
     graph: CscGraph,
