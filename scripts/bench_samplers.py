@@ -124,6 +124,16 @@ def main():
 
     chain_time(f"tempo walk L={L}", tempo, key)
 
+    from tch_geometric_tpu.sampling.walks import _biased_tempo_walk_impl
+
+    def ctdne(k):
+        walks, wts = _biased_tempo_walk_impl(
+            k, csr, node_ts, edge_ts, seeds, start_ts, L,
+            "exponential", True, 3)
+        return walks, walks.sum().astype(jnp.int32)
+
+    chain_time(f"ctdne walk L={L} exp bias retry=3", ctdne, key)
+
     # --- negative sampling ---------------------------------------------
     def neg(k):
         cand, ok = _negative_candidates(k, csr, seeds, N, 5, 20)

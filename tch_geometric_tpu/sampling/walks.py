@@ -44,6 +44,7 @@ import numpy as np
 from ..data.graph import CsrGraph, make_graph
 from ..utils.types import NAN_TIMESTAMP
 from . import primitives, rng
+from .neighbor import _aligned_window_values, _select_lanes
 
 NUM_TRIALS = 16  # bounded replacement for the reference's unbounded loop
 
@@ -196,26 +197,55 @@ def _tempo_walk_impl(key, graph: CsrGraph, node_ts, edge_ts, start, start_ts,
     walks0 = jnp.full((B, L), -1, jnp.int32).at[:, 0].set(start)
     ts0 = jnp.full((B, L), -1, jnp.int32).at[:, 0].set(start_ts)
 
+    use_ell = graph.ell is not None
+    if use_ell:
+        # Effective per-edge ts (NaN falls back to dst-node ts, rs:121-127)
+        # precomputed ONCE as an (E,) array so the per-step window reads are
+        # ~2 aligned row accesses per walk (windowed-values engine,
+        # sampling/neighbor.py) instead of 2 gathers per window lane.
+        ts_eff = jnp.where(edge_ts != NAN_TIMESTAMP, edge_ts,
+                           node_ts[graph.indices])
+        P = max(graph.max_degree, 1)
+        lane_iota = jnp.arange(P, dtype=jnp.int32)
+
     def step(carry, inp):
         l, step_key = inp
         walks, ts_buf, cur = carry
-        starts, ends = graph.neighbors_range(jnp.clip(cur, 0, graph.num_ptr_nodes - 1))
-        deg = ends - starts
-
-        def mask_at(eptr):
-            t = _neighbor_ts(graph, edge_ts, node_ts, eptr)
+        if use_ell:
+            lanes, deg, starts = graph.ell_rows(
+                jnp.clip(cur, 0, graph.num_ptr_nodes - 1))
+            t = _aligned_window_values(ts_eff, starts, P)
             in_win = jnp.logical_and(t >= lo[:, None], t < hi[:, None])
-            return jnp.logical_or(
-                jnp.logical_or(t == NAN_TIMESTAMP, root_nan[:, None]), in_win)
+            adm = jnp.logical_and(
+                lane_iota[None, :] < deg[:, None],
+                jnp.logical_or(jnp.logical_or(t == NAN_TIMESTAMP,
+                                              root_nan[:, None]), in_win))
+            noise = jax.random.gumbel(step_key, (B, P), jnp.float32)
+            keysv = jnp.where(adm, noise, -jnp.inf)
+            pos1 = jnp.argmax(keysv, axis=-1).astype(jnp.int32)
+            ok = jnp.isfinite(jnp.max(keysv, axis=-1))
+            nxt = _select_lanes(lanes, pos1[:, None])[:, 0]
+            nxt_ts = _select_lanes(t, pos1[:, None])[:, 0]
+        else:
+            starts, ends = graph.neighbors_range(
+                jnp.clip(cur, 0, graph.num_ptr_nodes - 1))
+            deg = ends - starts
 
-        pos, valid = primitives.window_choice_sample(
-            step_key, starts, deg, 1,
-            max_degree=graph.max_degree, num_edges=graph.num_edges,
-            mask_at=mask_at, window=window_chunk)
-        eptr = jnp.clip(starts + pos[:, 0], 0, max(graph.num_edges - 1, 0))
-        nxt = graph.gather_neighbors(eptr)
-        nxt_ts = _neighbor_ts(graph, edge_ts, node_ts, eptr)
-        ok = valid[:, 0]
+            def mask_at(eptr):
+                t = _neighbor_ts(graph, edge_ts, node_ts, eptr)
+                in_win = jnp.logical_and(t >= lo[:, None], t < hi[:, None])
+                return jnp.logical_or(
+                    jnp.logical_or(t == NAN_TIMESTAMP, root_nan[:, None]),
+                    in_win)
+
+            pos, valid = primitives.window_choice_sample(
+                step_key, starts, deg, 1,
+                max_degree=graph.max_degree, num_edges=graph.num_edges,
+                mask_at=mask_at, window=window_chunk)
+            eptr = jnp.clip(starts + pos[:, 0], 0, max(graph.num_edges - 1, 0))
+            nxt = graph.gather_neighbors(eptr)
+            nxt_ts = _neighbor_ts(graph, edge_ts, node_ts, eptr)
+            ok = valid[:, 0]
 
         # Dead end: restart from a uniformly chosen earlier position of the
         # SAME walk (rs:144-148).
@@ -279,6 +309,13 @@ def _biased_tempo_walk_impl(key, graph: CsrGraph, node_ts, edge_ts, start,
     start = start.astype(jnp.int32)
     start_ts = start_ts.astype(jnp.int32)
     D = max(graph.max_degree, 1)
+    use_ell = graph.ell is not None
+    if use_ell:
+        # See _tempo_walk_impl: one (E,) effective-ts precompute turns the
+        # per-step (B, D) eptr/ts/neighbor gathers into ~3 aligned row
+        # accesses per walk.
+        ts_eff = jnp.where(edge_ts != NAN_TIMESTAMP, edge_ts,
+                           node_ts[graph.indices])
 
     def attempt(att_key):
         walks0 = jnp.full((B, L), -1, jnp.int32).at[:, 0].set(start)
@@ -287,15 +324,19 @@ def _biased_tempo_walk_impl(key, graph: CsrGraph, node_ts, edge_ts, start,
         def step(carry, inp):
             l, step_key = inp
             walks, ts_buf, cur, cur_ts, alive = carry
-            starts, ends = graph.neighbors_range(
-                jnp.clip(cur, 0, graph.num_ptr_nodes - 1))
-            deg = ends - starts
-
-            # Materialise the neighbor window (B, D): timestamps + mask.
             pos = jnp.arange(D, dtype=jnp.int32)[None, :]
+            if use_ell:
+                lanes, deg, starts = graph.ell_rows(
+                    jnp.clip(cur, 0, graph.num_ptr_nodes - 1))
+                t = _aligned_window_values(ts_eff, starts, D)
+            else:
+                starts, ends = graph.neighbors_range(
+                    jnp.clip(cur, 0, graph.num_ptr_nodes - 1))
+                deg = ends - starts
+                eptr = jnp.clip(starts[:, None] + pos,
+                                0, max(graph.num_edges - 1, 0))
+                t = _neighbor_ts(graph, edge_ts, node_ts, eptr)
             in_deg = pos < deg[:, None]
-            eptr = jnp.clip(starts[:, None] + pos, 0, max(graph.num_edges - 1, 0))
-            t = _neighbor_ts(graph, edge_ts, node_ts, eptr)
             # Forward-in-time admissibility (rs:238-248): NaN ts always pass.
             adm = jnp.logical_or(
                 jnp.logical_or(t == NAN_TIMESTAMP, cur_ts[:, None] == NAN_TIMESTAMP),
@@ -327,10 +368,13 @@ def _biased_tempo_walk_impl(key, graph: CsrGraph, node_ts, edge_ts, start,
             best = jnp.argmax(score, axis=1)
             ok = jnp.logical_and(jnp.any(adm, axis=1), alive)
 
-            sel = jnp.arange(B)
-            nxt = graph.gather_neighbors(
-                jnp.clip(starts + best, 0, max(graph.num_edges - 1, 0)))
-            nxt_ts = t[sel, best]
+            if use_ell:
+                nxt = _select_lanes(lanes, best[:, None].astype(jnp.int32))[:, 0]
+                nxt_ts = _select_lanes(t, best[:, None].astype(jnp.int32))[:, 0]
+            else:
+                nxt = graph.gather_neighbors(
+                    jnp.clip(starts + best, 0, max(graph.num_edges - 1, 0)))
+                nxt_ts = t[jnp.arange(B), best]
 
             new_cur = jnp.where(ok, nxt, cur)
             # cur_ts only advances on non-NaN draw (rs:277-279).
