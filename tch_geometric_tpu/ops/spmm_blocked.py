@@ -58,10 +58,11 @@ def build_blocked(indptr, indices, *, rows_per_block: int = 128,
                   sort_chunk_sources: bool = True) -> BlockedCsr:
     """Host-side one-time layout build (numpy).
 
-    ``chunk_edges=None`` auto-sizes the chunk to ~1.125x the mean block edge
-    count (rounded to 128 for the MXU contraction dim), which keeps the
-    remainder-chunk padding ratio near 1.1 on near-uniform degree graphs
-    while heavy blocks simply get extra chunks.  ``sort_chunk_sources``
+    ``chunk_edges=None`` picks the chunk size that MINIMIZES total padded
+    edges ``sum(ceil(blk_edges/C)) * C`` over a grid of 128-multiples —
+    the gather (82% of kernel time, BASELINE.md) costs exactly one row
+    fetch per padded edge lane, so padding ratio is the throughput lever;
+    the measured ms/iter tracks it linearly.  ``sort_chunk_sources``
     orders each chunk's edges by source id — a free exactness-preserving
     permutation (the one-hot row follows the edge) that improves gather
     locality on graphs with hubs/community structure.
@@ -70,11 +71,20 @@ def build_blocked(indptr, indices, *, rows_per_block: int = 128,
     indices = np.asarray(indices, dtype=np.int64)
     N = indptr.shape[0] - 1
     W = rows_per_block
-    if chunk_edges is None:
-        avg_blk = (indices.shape[0] * W) / max(N, 1)
-        chunk_edges = max(256, int(-(-avg_blk * 1.125 // 128)) * 128)
-    C = chunk_edges
     B = -(-N // W)
+    if chunk_edges is None:
+        blk_e = np.diff(indptr[np.minimum(np.arange(B + 1) * W, N)])
+        mean_blk = float(blk_e.mean()) if B else 256.0
+        # candidates: 128-multiples from ~0.5x mean to the max block size
+        # (tiny chunks lose to per-chunk grid/DMA overhead: floor at 256)
+        lo = max(256, int(mean_blk * 0.5) // 128 * 128)
+        hi = max(lo + 128, int(blk_e.max()) // 128 * 128 + 128) if B else lo + 128
+        cands = np.unique(np.linspace(lo, hi, 64, dtype=np.int64) // 128 * 128)
+        # total padded edges for each candidate C, one O(B) pass per C
+        totals = [(int(np.sum(-(-blk_e // C1))) * int(C1), int(C1))
+                  for C1 in cands]
+        chunk_edges = min(totals)[1]
+    C = chunk_edges
 
     # per-edge destination row
     deg = np.diff(indptr)
