@@ -52,8 +52,13 @@ def make_sage_trainer(
         sample = _sample_neighbors_impl(
             key, graph, seeds.astype(jnp.int32), zeros, None, None,
             fanouts, with_replacement, None, window)
+        # No validity mask on the gathered features: invalid slots clip to
+        # node 0's (finite) features, and every path from a non-seed slot to
+        # a seed logit passes through tree_neighbor_mean's child mask, so
+        # seed outputs are identical with or without masking — and the mask
+        # costs a full read+write pass over the gathered tensor (measured
+        # 0.8 ms/minibatch at products scale, scripts/micro_step_bisect.py).
         x = x_table[jnp.clip(sample.nodes, 0, x_table.shape[0] - 1)]
-        x = jnp.where(sample.node_valid[:, None], x, 0.0)
         return sample, x
 
     def loss_fn(params, key, graph, x_table, seeds, labels):
@@ -128,9 +133,10 @@ def make_multibatch_sage_trainer(
                 fanouts, with_replacement, None, window)
 
         sample = jax.vmap(one, in_axes=(0, 0, 0))(keys, seeds, zeros)
-        # one fused (M * n_total) feature gather
+        # one fused (M * n_total) feature gather; no validity mask — see
+        # make_sage_trainer.sample_and_gather (seed logits are invariant,
+        # masking costs a full pass over the gathered tensor).
         xg = x_table[jnp.clip(sample.nodes, 0, x_table.shape[0] - 1)]
-        xg = jnp.where(sample.node_valid[..., None], xg, 0.0)
         return sample, xg
 
     def one_update(params_opt, sample_m, x_m, labels_m):

@@ -267,3 +267,35 @@ def test_multibatch_trainer_matches_sequential(karate):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(lossesM[-1]), float(loss1), rtol=1e-5)
+
+
+def test_tree_forward_seed_logits_ignore_invalid_slots(karate):
+    """The trainers gather features WITHOUT masking invalid slots
+    (parallel/train.py): every path from a non-seed slot to a seed logit
+    passes tree_neighbor_mean's child mask, so garbage features in invalid
+    slots must not change seed outputs."""
+    from tch_geometric_tpu.sampling.neighbor import sample_neighbors
+
+    x_feat, y, edge_index = karate
+    g = csc_graph_from_coo(edge_index, 34)
+    seeds = np.array([0, 1, 4, 5, 8, 11, 20, 33])
+    # without replacement: degree<4 nodes produce invalid slots
+    sample = sample_neighbors(g, seeds, [4, 3], key=jax.random.key(0),
+                              sampler=tgt.UniformEdgeSampler(False))
+    valid = np.asarray(sample.node_valid)
+    assert (~valid).any(), "fixture must produce invalid slots"
+
+    xj = jnp.asarray(x_feat)
+    base = xj[jnp.clip(sample.nodes, 0, 33)]
+    garbage = base + jnp.where(sample.node_valid[:, None], 0.0, 1e6)
+    masked = jnp.where(sample.node_valid[:, None], base, 0.0)
+
+    model = GraphSAGE(hidden=16, out=4, num_layers=2)
+    params = model.init(jax.random.key(1), sample, masked,
+                        method=GraphSAGE.tree_forward)
+    out_masked = model.apply(params, sample, masked,
+                             method=GraphSAGE.tree_forward)
+    out_garbage = model.apply(params, sample, garbage,
+                              method=GraphSAGE.tree_forward)
+    np.testing.assert_allclose(np.asarray(out_masked),
+                               np.asarray(out_garbage), rtol=1e-5, atol=1e-5)
