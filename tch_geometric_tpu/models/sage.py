@@ -81,6 +81,30 @@ class GraphSAGE(nn.Module):
                 h = nn.relu(h)
         return h
 
+    def blocked_forward(self, x, blocked, compute_dtype=jnp.bfloat16):
+        """Full-graph forward over a (Segmented)BlockedCsr layout.
+
+        The production inference path: the scatter-free MXU SpMM kernel per
+        layer; pass a ``SegmentedBlockedCsr`` for graphs where the (E, F)
+        gathered intermediate would not fit HBM (e.g. ogbn-products,
+        F=256 -> ~16 GB unsegmented)."""
+        from ..ops.spmm_blocked import SegmentedBlockedCsr
+        from ..ops.spmm_pallas import spmm_blocked_auto, spmm_blocked_segmented
+        h = x
+        for i, conv in enumerate(self.convs):
+            if isinstance(blocked, SegmentedBlockedCsr):
+                agg = spmm_blocked_segmented(blocked, h, agg="mean",
+                                             compute_dtype=compute_dtype,
+                                             out_dtype=h.dtype)
+            else:
+                agg = spmm_blocked_auto(
+                    blocked, h, agg="mean",
+                    compute_dtype=compute_dtype).astype(h.dtype)
+            h = conv(h, agg)
+            if i < self.num_layers - 1:
+                h = nn.relu(h)
+        return h
+
     def tree_forward(self, sample: NeighborSample, x):
         """Sampled-batch forward: x (N_total, F) per-slot features.
 

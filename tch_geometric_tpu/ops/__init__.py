@@ -10,11 +10,17 @@ from .segment import (
 from .spmm import sddmm, spmm
 from .spmm_blocked import (
     BlockedCsr,
+    SegmentedBlockedCsr,
     build_blocked,
+    build_blocked_segmented,
     edge_attr_to_blocked,
     spmm_blocked,
 )
-from .spmm_pallas import spmm_blocked_auto, spmm_blocked_pallas
+from .spmm_pallas import (
+    spmm_blocked_auto,
+    spmm_blocked_pallas,
+    spmm_blocked_segmented,
+)
 from .attention_blocked import (
     attend_blocked,
     edge_softmax_blocked,

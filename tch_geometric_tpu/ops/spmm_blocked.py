@@ -67,6 +67,24 @@ def build_blocked(indptr, indices, *, rows_per_block: int = 128,
     permutation (the one-hot row follows the edge) that improves gather
     locality on graphs with hubs/community structure.
     """
+    out = _build_blocked_np(indptr, indices, rows_per_block, chunk_edges,
+                            sort_chunk_sources)
+    return BlockedCsr(
+        edge_src=jnp.asarray(out["edge_src"]),
+        edge_local_row=jnp.asarray(out["local_row"]),
+        edge_valid=jnp.asarray(out["valid"]),
+        chunk_block=jnp.asarray(out["chunk_block"]),
+        block_start=jnp.asarray(out["block_start"]),
+        degree=jnp.asarray(out["degree"]),
+        edge_ptr=jnp.asarray(out["edge_ptr"]),
+        num_rows=out["num_rows"],
+        rows_per_block=rows_per_block,
+        chunk_edges=out["chunk_edges"],
+    )
+
+
+def _build_blocked_np(indptr, indices, rows_per_block=128, chunk_edges=None,
+                      sort_chunk_sources=True) -> dict:
     indptr = np.asarray(indptr, dtype=np.int64)
     indices = np.asarray(indices, dtype=np.int64)
     N = indptr.shape[0] - 1
@@ -123,17 +141,99 @@ def build_blocked(indptr, indices, *, rows_per_block: int = 128,
     local_row = np.where(valid, dst[offs_c] - chunk_block[:, None].astype(np.int64) * W,
                          W).astype(np.int32)
 
-    return BlockedCsr(
-        edge_src=jnp.asarray(edge_src),
-        edge_local_row=jnp.asarray(local_row),
-        edge_valid=jnp.asarray(valid),
-        chunk_block=jnp.asarray(chunk_block),
-        block_start=jnp.asarray(block_start),
-        degree=jnp.asarray(deg.astype(np.int32)),
-        edge_ptr=jnp.asarray(np.where(valid, offs_c, -1).astype(np.int32)),
+    return dict(
+        edge_src=edge_src,
+        local_row=local_row,
+        valid=valid,
+        chunk_block=chunk_block,
+        block_start=block_start,
+        degree=deg.astype(np.int32),
+        edge_ptr=np.where(valid, offs_c, -1).astype(np.int32),
         num_rows=int(N),
+        num_blocks=int(B),
+        chunk_edges=int(C),
+    )
+
+
+@struct.dataclass
+class SegmentedBlockedCsr:
+    """Blocked-ELL layout split into S equal block-range segments.
+
+    Full-graph SpMM materializes an (E, F) gathered intermediate; at
+    production scale (ogbn-products, E=62M, F=256 bf16) that is ~16 GB and
+    does not fit HBM.  Segments bound the live intermediate to one
+    segment's edges: ``spmm_blocked_segmented`` runs a ``lax.scan`` whose
+    body gathers + contracts a single segment with the SAME Pallas kernel,
+    so peak memory is O(E/S * F) while semantics stay exact.
+
+    Segment s owns row blocks [s*Bp, (s+1)*Bp) (Bp = blocks_per_segment),
+    so the stacked (S, Bp*W, F) partials reshape directly into the output.
+    Per-segment chunk counts are padded to the max; pad chunks carry
+    local_row == W (one-hot never matches -> zero contribution) and point
+    at the segment's last real block so the kernel's first-visit logic
+    never overwrites a real tile.
+    """
+
+    edge_src: jax.Array        # (S, Tp, C) int32 padded source ids
+    edge_local_row: jax.Array  # (S, Tp, C) int32 dst row within block [0, W]
+    chunk_block: jax.Array     # (S, Tp) int32 block id LOCAL to the segment
+    block_start: jax.Array     # (S, Bp+1) int32 local first-chunk per block
+    degree: jax.Array          # (N,) int32 global row degrees (for mean)
+    num_rows: int = struct.field(pytree_node=False, default=0)
+    rows_per_block: int = struct.field(pytree_node=False, default=128)
+    chunk_edges: int = struct.field(pytree_node=False, default=2048)
+    blocks_per_segment: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def num_segments(self) -> int:
+        return self.edge_src.shape[0]
+
+
+def build_blocked_segmented(indptr, indices, *, num_segments: int,
+                            rows_per_block: int = 128,
+                            chunk_edges: Optional[int] = None,
+                            sort_chunk_sources: bool = True
+                            ) -> SegmentedBlockedCsr:
+    """Host-side build of the segmented layout (see SegmentedBlockedCsr)."""
+    W = rows_per_block
+    o = _build_blocked_np(indptr, indices, W, chunk_edges, sort_chunk_sources)
+    B, C = o["num_blocks"], o["chunk_edges"]
+    S = max(1, min(int(num_segments), B))
+    Bp = -(-B // S)
+    bs = o["block_start"].astype(np.int64)          # (B+1,) global chunk ids
+
+    seg_blk0 = np.minimum(np.arange(S + 1) * Bp, B)
+    seg_t0 = bs[seg_blk0]                            # (S+1,) chunk ranges
+    T_s = np.diff(seg_t0)
+    Tp = int(T_s.max()) if S else 1
+
+    es = np.zeros((S, Tp, C), np.int32)
+    lr = np.full((S, Tp, C), W, np.int32)            # pads: no one-hot match
+    cb = np.zeros((S, Tp), np.int32)
+    bstart = np.zeros((S, Bp + 1), np.int32)
+    for s in range(S):
+        t0, t1 = int(seg_t0[s]), int(seg_t0[s + 1])
+        n = t1 - t0
+        es[s, :n] = o["edge_src"][t0:t1]
+        lr[s, :n] = o["local_row"][t0:t1]
+        local_cb = o["chunk_block"][t0:t1] - int(seg_blk0[s])
+        cb[s, :n] = local_cb
+        # pad chunks point at the segment's last real block: the kernel
+        # accumulates their (all-zero) partials instead of re-initializing
+        cb[s, n:] = local_cb[-1] if n else 0
+        gb = np.minimum(seg_blk0[s] + np.arange(Bp + 1), seg_blk0[s + 1])
+        bstart[s] = (bs[gb] - t0).astype(np.int32)
+
+    return SegmentedBlockedCsr(
+        edge_src=jnp.asarray(es),
+        edge_local_row=jnp.asarray(lr),
+        chunk_block=jnp.asarray(cb),
+        block_start=jnp.asarray(bstart),
+        degree=jnp.asarray(o["degree"]),
+        num_rows=o["num_rows"],
         rows_per_block=W,
         chunk_edges=C,
+        blocks_per_segment=Bp,
     )
 
 

@@ -100,6 +100,41 @@ def spmm_blocked_auto(b: BlockedCsr, x: jax.Array, *, agg: str = "sum",
     return spmm_blocked(b, x, agg=agg, compute_dtype=compute_dtype)
 
 
+def spmm_blocked_segmented(seg, x: jax.Array, *, agg: str = "sum",
+                           compute_dtype=jnp.bfloat16,
+                           out_dtype=jnp.float32) -> jax.Array:
+    """Memory-bounded full-graph SpMM over a ``SegmentedBlockedCsr``.
+
+    ``lax.scan`` over segments: each step gathers + contracts ONE segment
+    (peak intermediate O(E/S * F) instead of O(E * F), which at
+    ogbn-products scale with F=256 is the difference between ~0.5 GB and
+    ~16 GB).  Segments are equal block ranges, so stacked partials reshape
+    directly into the output; exact same semantics as ``spmm_blocked``.
+    """
+    W = seg.rows_per_block
+    Bp = seg.blocks_per_segment
+    S = seg.num_segments
+
+    def body(_, inp):
+        es, lr, cb, bs = inp
+        b = BlockedCsr(
+            edge_src=es, edge_local_row=lr, edge_valid=None,
+            chunk_block=cb, block_start=bs, degree=None, edge_ptr=None,
+            num_rows=Bp * W, rows_per_block=W, chunk_edges=seg.chunk_edges)
+        out = spmm_blocked_auto(b, x, agg="sum", compute_dtype=compute_dtype)
+        return None, out.astype(out_dtype)
+
+    _, outs = jax.lax.scan(
+        body, None,
+        (seg.edge_src, seg.edge_local_row, seg.chunk_block, seg.block_start))
+    out = outs.reshape(S * Bp * W, -1)[: seg.num_rows]
+    if agg == "mean":
+        out = out / jnp.maximum(seg.degree, 1)[:, None].astype(out.dtype)
+    elif agg != "sum":
+        raise ValueError(f"unsupported agg {agg!r}")
+    return out
+
+
 def quantize_rows(x: jax.Array):
     """Per-row symmetric int8 quantization: returns (q int8, scale f32)."""
     amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)

@@ -299,3 +299,59 @@ def test_tree_forward_seed_logits_ignore_invalid_slots(karate):
                               method=GraphSAGE.tree_forward)
     np.testing.assert_allclose(np.asarray(out_masked),
                                np.asarray(out_garbage), rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_segmented_matches_blocked(fake_dataset):
+    """SegmentedBlockedCsr scan path == BlockedCsr path == dense, for
+    segment counts that do and don't divide the block count."""
+    from tch_geometric_tpu.ops import (
+        build_blocked, build_blocked_segmented, spmm_blocked,
+        spmm_blocked_segmented)
+
+    x, y, edge_index = fake_dataset
+    n = int(edge_index.max()) + 1
+    ei = np.asarray(edge_index)
+    order = np.argsort(ei[1], kind="stable")
+    dst, src = ei[1][order], ei[0][order]
+    indptr = np.searchsorted(dst, np.arange(n + 1)).astype(np.int32)
+
+    xj = jnp.asarray(np.asarray(x, dtype=np.float32)[:n])
+    b = build_blocked(indptr, src.astype(np.int32), rows_per_block=16)
+    ref = np.asarray(spmm_blocked(b, xj, agg="mean",
+                                  compute_dtype=jnp.float32))
+
+    num_blocks = b.num_blocks
+    for S in (1, 3, num_blocks, num_blocks + 5):
+        seg = build_blocked_segmented(indptr, src.astype(np.int32),
+                                      num_segments=S, rows_per_block=16)
+        out = np.asarray(spmm_blocked_segmented(
+            seg, xj, agg="mean", compute_dtype=jnp.float32))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"S={S}")
+
+
+def test_sage_blocked_forward_matches_spmm(karate):
+    """blocked_forward (segmented and not) == the SparseGraph full-graph
+    forward with identical weights."""
+    from tch_geometric_tpu.ops import build_blocked, build_blocked_segmented
+
+    x_feat, y, edge_index = karate
+    g = csc_graph_from_coo(edge_index, 34)
+    xj = jnp.asarray(x_feat)
+    model = GraphSAGE(hidden=16, out=4, num_layers=2)
+    params = model.init(jax.random.key(0), xj, g)
+    ref = np.asarray(model.apply(params, xj, g))
+
+    indptr = np.asarray(g.indptr)
+    indices = np.asarray(g.indices)
+    b = build_blocked(indptr, indices, rows_per_block=8)
+    seg = build_blocked_segmented(indptr, indices, num_segments=3,
+                                  rows_per_block=8)
+    for layout in (b, seg):
+        out = np.asarray(model.apply(params, xj, layout, jnp.float32,
+                                     method=GraphSAGE.blocked_forward))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+        # default bf16 compute: same result at bf16 tolerance
+        out16 = np.asarray(model.apply(params, xj, layout,
+                                       method=GraphSAGE.blocked_forward))
+        np.testing.assert_allclose(out16, ref, rtol=3e-2, atol=3e-2)
