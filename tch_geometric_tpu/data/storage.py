@@ -65,10 +65,35 @@ def _native_csx(row_col, num_rows, num_cols, csc):
     return native.coo_to_csx(row_col[0], row_col[1], num_rows, num_cols, csc)
 
 
+def _check_coo_bounds(row_col, num_rows, num_cols):
+    """Reject out-of-range node ids before the native counting sort.
+
+    The reference surfaces bad inputs as PyValueError (tensor.rs:22-27 /
+    a Rust bounds panic); the C++ histogram would instead corrupt memory,
+    so validation is mandatory here.  A frequent trigger is passing an
+    int ``size`` for a rectangular (hetero-relation) COO whose src count
+    differs from its dst count — pass ``(num_rows, num_cols)``."""
+    row_col = np.asarray(row_col)
+    if row_col.ndim != 2 or row_col.shape[0] != 2:
+        raise ValueError(f"row_col must be (2, E), got {row_col.shape}")
+    if row_col.shape[1] == 0:
+        return row_col
+    rmin, rmax = row_col[0].min(), row_col[0].max()
+    cmin, cmax = row_col[1].min(), row_col[1].max()
+    if rmin < 0 or rmax >= num_rows or cmin < 0 or cmax >= num_cols:
+        raise ValueError(
+            f"COO indices out of range: rows in [{rmin}, {rmax}] vs "
+            f"num_rows={num_rows}, cols in [{cmin}, {cmax}] vs "
+            f"num_cols={num_cols}; for rectangular graphs pass "
+            "size=(num_rows, num_cols)")
+    return row_col
+
+
 def to_csc(row_col, size) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Reference-parity ``to_csc`` (src/python.rs:27-39): COO (2, E) ->
     (col_ptrs, row_indices, perm) as host arrays."""
     num_rows, num_cols = _norm_size(size)
+    row_col = _check_coo_bounds(row_col, num_rows, num_cols)
     nat = _native_csx(row_col, num_rows, num_cols, csc=True)
     if nat is not None:
         return nat
@@ -81,6 +106,7 @@ def to_csc(row_col, size) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 def to_csr(row_col, size) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Reference-parity ``to_csr`` (src/python.rs:41-53)."""
     num_rows, num_cols = _norm_size(size)
+    row_col = _check_coo_bounds(row_col, num_rows, num_cols)
     nat = _native_csx(row_col, num_rows, num_cols, csc=False)
     if nat is not None:
         return nat

@@ -157,11 +157,15 @@ def sample_edges_uniform(key, graph: CscGraph, frontier, frontier_valid,
         lanes, deg_l, starts = graph.ell_rows(
             jnp.clip(frontier, 0, graph.num_ptr_nodes - 1))
         deg = jnp.where(frontier_valid, deg_l, 0)
+        # Loop-free uniform k-subset: lane ranking + top_k beats Floyd's
+        # k-step carried loop (k=50 here) whenever the row fits the ELL.
+        pos, pvalid = primitives.uniform_lane_topk(
+            key, deg, lanes.shape[-1], k)
     else:
         starts, ends = graph.neighbors_range(
             jnp.clip(frontier, 0, graph.num_ptr_nodes - 1))
         deg = jnp.where(frontier_valid, ends - starts, 0)
-    pos, pvalid = primitives.floyd_sample(key, deg, k)
+        pos, pvalid = primitives.floyd_sample(key, deg, k)
     eptr = jnp.clip(starts[:, None] + pos, 0, max(graph.num_edges - 1, 0))
     if graph.ell is not None:
         v = _select_lanes(lanes, jnp.clip(pos, 0, lanes.shape[-1] - 1))
@@ -211,6 +215,9 @@ def _sample_one_hop(
     if mask_at is None and logw_at is None:
         if with_replacement:
             pos, valid = primitives.replacement_positions(key, degs, k)
+        elif ell_lanes is not None:
+            pos, valid = primitives.uniform_lane_topk(
+                key, degs, ell_lanes.shape[-1], k)
         else:
             pos, valid = primitives.floyd_sample(key, degs, k)
     elif ell_lanes is not None:

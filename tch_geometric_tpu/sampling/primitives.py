@@ -78,6 +78,36 @@ def floyd_sample(key: jax.Array, deg: jax.Array, k: int) -> Tuple[jax.Array, jax
     return positions, valid
 
 
+def uniform_lane_topk(key: jax.Array, deg: jax.Array, num_lanes: int,
+                      k: int) -> Tuple[jax.Array, jax.Array]:
+    """Exact uniform k-subset of ``[0, deg)`` when ``deg <= num_lanes``.
+
+    Loop-free alternative to :func:`floyd_sample` for ELL-resident rows:
+    rank every lane by one uniform draw and take the top ``k`` among lanes
+    ``< deg`` — a uniformly random k-subset (random-ranking argument, same
+    distribution as the reference's reservoir, sampling.rs:6-26).  One fused
+    ``(B, L)`` draw + ``top_k`` replaces Floyd's k-iteration carried loop,
+    which at the HGT/budget samplers' MAX_NEIGHBORS=50 cap costs 50
+    sequential XLA while-loop steps per call.
+
+    Returns ``(positions, valid)`` of shape ``deg.shape + (k,)``; invalid
+    slots hold position 0.  Valid slots are the first ``min(deg, k)`` along
+    the last axis (-inf lanes sort last), matching floyd_sample's layout.
+    """
+    deg = jnp.asarray(deg).astype(jnp.int32)
+    lane = jnp.arange(num_lanes, dtype=jnp.int32)
+    r = jax.random.uniform(key, deg.shape + (num_lanes,), jnp.float32)
+    vals = jnp.where(lane < deg[..., None], r, NEG_INF)
+    kk = min(k, num_lanes)
+    top_vals, pos = jax.lax.top_k(vals, kk)
+    valid = jnp.isfinite(top_vals)
+    if kk < k:
+        pad = [(0, 0)] * deg.ndim + [(0, k - kk)]
+        pos = jnp.pad(pos, pad)
+        valid = jnp.pad(valid, pad)
+    return jnp.where(valid, pos, 0), valid
+
+
 # ---------------------------------------------------------------------------
 # With replacement: randint positions
 # ---------------------------------------------------------------------------

@@ -45,6 +45,23 @@ def test_to_csc_exact():
     assert row_indices[lo:hi].tolist() == [4, 5]
 
 
+def test_to_csc_rectangular_and_bounds():
+    # Rectangular relation: 5 src rows, 3 dst cols.
+    edge_index = np.array([[4, 0, 2], [0, 2, 1]], dtype=np.int64)
+    col_ptrs, row_indices, perm = to_csc(edge_index, (5, 3))
+    assert col_ptrs.shape[0] == 4 and row_indices.tolist() == [4, 2, 0]
+    # An int size that under-counts src rows must raise, not corrupt
+    # memory in the native counting sort (regression: segfault).
+    import pytest
+    with pytest.raises(ValueError):
+        to_csc(edge_index, 3)
+    with pytest.raises(ValueError):
+        to_csc(np.array([[0, -1], [0, 1]], dtype=np.int64), 3)
+    from tch_geometric_tpu.data.storage import to_csr
+    with pytest.raises(ValueError):
+        to_csr(edge_index, (5, 2))
+
+
 def test_perm_roundtrip(karate):
     _x, _y, edge_index = karate
     n = 34

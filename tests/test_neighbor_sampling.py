@@ -179,17 +179,49 @@ def test_window_fast_path_matches_scalar_gather():
 
     # include the last nodes so windows touch the end of `indices`
     seeds = np.concatenate([rng.integers(0, N, 32), np.arange(N - 8, N)])
-    for sampler in (tgt.UniformEdgeSampler(False), tgt.UniformEdgeSampler(True)):
-        outs = [sample_neighbors(g, seeds, [5, 3], key=jax.random.key(2),
-                                 sampler=sampler)
-                for g in (g_ell, g_win, g_plain)]
-        ref = outs[-1]
-        valid = np.asarray(ref.node_valid)
-        for a in outs[:-1]:
-            assert np.array_equal(np.asarray(a.node_valid), valid)
-            assert np.array_equal(np.asarray(a.nodes)[valid],
-                                  np.asarray(ref.nodes)[valid])
-            assert np.array_equal(np.asarray(a.eptr), np.asarray(ref.eptr))
+    # With replacement all three engines share `replacement_positions`
+    # draws, so outputs must be bit-identical.
+    outs = [sample_neighbors(g, seeds, [5, 3], key=jax.random.key(2),
+                             sampler=tgt.UniformEdgeSampler(True))
+            for g in (g_ell, g_win, g_plain)]
+    ref = outs[-1]
+    valid = np.asarray(ref.node_valid)
+    for a in outs[:-1]:
+        assert np.array_equal(np.asarray(a.node_valid), valid)
+        assert np.array_equal(np.asarray(a.nodes)[valid],
+                              np.asarray(ref.nodes)[valid])
+        assert np.array_equal(np.asarray(a.eptr), np.asarray(ref.eptr))
+
+    # Without replacement the ELL engine uses the loop-free lane-ranking
+    # k-subset (uniform_lane_topk) instead of Floyd — distributionally
+    # equivalent, not bit-equal.  Window-table vs plain still share Floyd
+    # draws bit-for-bit.  The ELL output must satisfy the draw-independent
+    # invariants: hop-1 valid counts equal min(deg(seed), k), every emitted
+    # (eptr, neighbor) pair is a real edge, and positions are distinct per
+    # frontier node (without-replacement property).
+    o_ell, o_win, o_plain = [
+        sample_neighbors(g, seeds, [5, 3], key=jax.random.key(2),
+                         sampler=tgt.UniformEdgeSampler(False))
+        for g in (g_ell, g_win, g_plain)]
+    valid = np.asarray(o_plain.node_valid)
+    assert np.array_equal(np.asarray(o_win.node_valid), valid)
+    assert np.array_equal(np.asarray(o_win.nodes)[valid],
+                          np.asarray(o_plain.nodes)[valid])
+    assert np.array_equal(np.asarray(o_win.eptr), np.asarray(o_plain.eptr))
+    ev = np.asarray(o_ell.edge_valid)
+    eptr = np.asarray(o_ell.eptr)
+    nodes = np.asarray(o_ell.nodes)
+    rows_l = np.asarray(o_ell.rows)
+    cols_l = np.asarray(o_ell.cols)
+    assert np.array_equal(row_indices[eptr[ev]], nodes[rows_l[ev]])
+    for c in np.unique(cols_l[ev]):
+        sel = eptr[ev][cols_l[ev] == c]
+        assert len(np.unique(sel)) == len(sel)
+    # hop-1: per-seed valid child count == min(deg(seed), 5)
+    deg = np.diff(col_ptrs)[seeds]
+    hop1 = np.asarray(o_ell.node_valid)[
+        o_ell.node_base[1]: o_ell.node_base[2]].reshape(len(seeds), 5)
+    assert np.array_equal(hop1.sum(1), np.minimum(deg, 5))
 
     # Weighted sampling: the ELL windowed-values engine draws its Gumbel
     # noise on a (B, max_degree) layout, so positions differ from the

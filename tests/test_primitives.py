@@ -31,6 +31,32 @@ def test_floyd_uniformity():
     assert np.allclose(freq, 1 / 6, atol=0.02), freq
 
 
+def test_uniform_lane_topk_exact_subset():
+    key = jax.random.key(7)
+    deg = jnp.array([0, 1, 3, 5, 10, 60])
+    pos, valid = primitives.uniform_lane_topk(key, deg, 64, 4)
+    pos, valid = np.asarray(pos), np.asarray(valid)
+    assert valid.sum(-1).tolist() == [0, 1, 3, 4, 4, 4]
+    for i, d in enumerate([0, 1, 3, 5, 10, 60]):
+        chosen = pos[i][valid[i]]
+        assert len(set(chosen.tolist())) == len(chosen)  # distinct
+        assert all(0 <= c < d for c in chosen)           # in range
+    # k wider than the lane count: all valid lanes chosen, rest padded
+    pos, valid = primitives.uniform_lane_topk(key, jnp.array([3, 8]), 8, 12)
+    assert np.asarray(valid).sum(-1).tolist() == [3, 8]
+
+
+def test_uniform_lane_topk_uniformity():
+    # Same law as floyd_sample: each position of [0, 6) appears ~ k/6.
+    key = jax.random.key(8)
+    B = 6000
+    deg = jnp.full((B,), 6)
+    pos, valid = primitives.uniform_lane_topk(key, deg, 16, 3)
+    counts = np.bincount(np.asarray(pos)[np.asarray(valid)], minlength=6)
+    freq = counts / counts.sum()
+    assert np.allclose(freq, 1 / 6, atol=0.02), freq
+
+
 def test_replacement_positions():
     key = jax.random.key(2)
     deg = jnp.array([0, 2, 7])
