@@ -40,8 +40,61 @@ from ..utils.config import (
     WeightedEdgeSampler,
 )
 from ..utils.types import EdgeType, NodeType, RelType, rel_key
-from . import rng
-from .neighbor import _sample_one_hop
+from . import primitives, rng
+from .neighbor import _sample_one_hop, _select_lanes
+
+
+def _stack_ells(gs: Sequence[CscGraph]) -> jax.Array:
+    """Stack the ELL tables of relations sharing a dst type into one
+    ``(m, |V_dst|, Wmax)`` array (lanes zero-padded to the widest table;
+    the trailing two columns stay degree / window start)."""
+    Wm = max(g.ell.shape[1] for g in gs)
+    parts = []
+    for g in gs:
+        e = g.ell
+        if e.shape[1] < Wm:
+            lanes = jnp.pad(e[:, :-2], ((0, 0), (0, Wm - e.shape[1])))
+            e = jnp.concatenate([lanes, e[:, -2:]], axis=1)
+        parts.append(e)
+    return jnp.stack(parts)
+
+
+def _fused_uniform_group(key, gs, ks, frontier, fvalid, with_replacement):
+    """One fused uniform sampling hop for ``m`` relations that share the
+    same dst-type frontier.
+
+    The reference walks relations sequentially (neighbor_sampling.rs:294);
+    per-relation XLA ops at minibatch scale are latency-bound, so all m
+    relations' ELL rows are fetched in ONE gather over a stacked table and
+    sampled in one fused draw.  Per-(relation, node) draws stay independent
+    — each stacked row ranks its own lanes.  Returns per-rel lists of
+    ``(eptr (B, k_r), neighbor (B, k_r), valid (B, k_r))``.
+    """
+    m = len(gs)
+    stacked = _stack_ells(gs)                        # (m, V, W)
+    V, W = stacked.shape[1], stacked.shape[2]
+    f = jnp.clip(frontier, 0, V - 1)
+    rows = stacked.reshape(m * V, W)[
+        jnp.arange(m, dtype=jnp.int32)[:, None] * V + f[None, :]]  # (m, B, W)
+    lanes, deg, starts = rows[..., :-2], rows[..., -2], rows[..., -1]
+    deg = jnp.where(fvalid[None, :], deg, 0)
+    kmax = max(ks)
+    if with_replacement:
+        pos, valid = primitives.replacement_positions(key, deg, kmax)
+    else:
+        # First k_r entries of a uniform kmax-subset in random order form a
+        # uniform k_r-subset, so one top-k serves every relation's fanout.
+        pos, valid = primitives.uniform_lane_topk(key, deg, W - 2, kmax)
+    eptr = starts[..., None] + pos
+    neighbor = _select_lanes(lanes, jnp.clip(pos, 0, W - 3))
+    out = []
+    for i, (g, k) in enumerate(zip(gs, ks)):
+        out.append((
+            jnp.clip(eptr[i, :, :k], 0, max(g.num_edges - 1, 0)),
+            neighbor[i, :, :k].astype(g.indices.dtype),
+            valid[i, :, :k],
+        ))
+    return out
 
 
 class HeteroLayout:
@@ -166,8 +219,33 @@ def _sample_hetero_impl(
             return z, jnp.zeros((0,), jnp.bool_), z
         return nodes[t][ell], valids[t][ell], states[t][ell]
 
+    # Uniform, unfiltered sampling fuses every relation sharing a dst-type
+    # frontier into one stacked-ELL gather + draw per hop (latency-bound
+    # otherwise: 2 hops x 6 relations of small ops).
+    fuse_ok = (log_weights is None and filter_cfg is None
+               and all(graphs[r].ell is not None for r, _, _ in rel_specs))
+
     for ell in range(num_hops):
         hop_new = {t: {} for t in node_types}  # rel -> (nodes, valid, state)
+        fused: Dict[str, Tuple[jax.Array, jax.Array, jax.Array]] = {}
+        if fuse_ok:
+            by_dst: Dict[str, List[int]] = {}
+            for ri, (r, src, dst) in enumerate(rel_specs):
+                if (layout.fanouts[r][ell] > 0
+                        and layout.cap[dst][ell] > 0):
+                    by_dst.setdefault(dst, []).append(ri)
+            for gi, (dst, ris) in enumerate(sorted(by_dst.items())):
+                gs = [graphs[rel_specs[ri][0]] for ri in ris]
+                if len(ris) < 2 or len({g.ell.shape[0] for g in gs}) != 1:
+                    continue
+                ks = [layout.fanouts[rel_specs[ri][0]][ell] for ri in ris]
+                frontier, fvalid, _fstate = segment(dst, ell)
+                group = _fused_uniform_group(
+                    rng.fold(key, ell, 100 + gi), gs, ks, frontier, fvalid,
+                    with_replacement)
+                for ri, res in zip(ris, group):
+                    fused[rel_specs[ri][0]] = res
+
         for ri, (r, src, dst) in enumerate(rel_specs):
             k = layout.fanouts[r][ell]
             frontier, fvalid, fstate = segment(dst, ell)
@@ -180,14 +258,18 @@ def _sample_hetero_impl(
                 eptrs[r].append(empty)
                 evalids[r].append(jnp.zeros((0,), jnp.bool_))
                 continue
-            g = graphs[r]
-            lw = log_weights[r] if log_weights is not None else None
-            ts = timestamps[r] if timestamps is not None else None
-            eptr, neighbor, valid, new_state = _sample_one_hop(
-                rng.fold(key, ell, ri), g, frontier, fvalid, fstate, k,
-                with_replacement=with_replacement,
-                log_weights=lw, filter_cfg=filter_cfg, timestamps=ts,
-                window=window)
+            if r in fused:
+                eptr, neighbor, valid = fused[r]
+                new_state = jnp.broadcast_to(fstate[:, None], eptr.shape)
+            else:
+                g = graphs[r]
+                lw = log_weights[r] if log_weights is not None else None
+                ts = timestamps[r] if timestamps is not None else None
+                eptr, neighbor, valid, new_state = _sample_one_hop(
+                    rng.fold(key, ell, ri), g, frontier, fvalid, fstate, k,
+                    with_replacement=with_replacement,
+                    log_weights=lw, filter_cfg=filter_cfg, timestamps=ts,
+                    window=window)
             # local slot of appended node in src pool
             base = layout.node_base[src][ell + 1] + layout.rel_node_off[(r, ell)]
             slot = base + (jnp.arange(B, dtype=jnp.int32)[:, None] * k

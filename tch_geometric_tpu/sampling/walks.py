@@ -194,9 +194,6 @@ def _tempo_walk_impl(key, graph: CsrGraph, node_ts, edge_ts, start, start_ts,
     hi = start_ts + win_hi
     root_nan = start_ts == NAN_TIMESTAMP
 
-    walks0 = jnp.full((B, L), -1, jnp.int32).at[:, 0].set(start)
-    ts0 = jnp.full((B, L), -1, jnp.int32).at[:, 0].set(start_ts)
-
     use_ell = graph.ell is not None
     if use_ell:
         # Effective per-edge ts (NaN falls back to dst-node ts, rs:121-127)
@@ -210,7 +207,7 @@ def _tempo_walk_impl(key, graph: CsrGraph, node_ts, edge_ts, start, start_ts,
 
     def step(carry, inp):
         l, step_key = inp
-        walks, ts_buf, cur = carry
+        r_node, r_ts, cur = carry
         if use_ell:
             lanes, deg, starts = graph.ell_rows(
                 jnp.clip(cur, 0, graph.num_ptr_nodes - 1))
@@ -248,24 +245,27 @@ def _tempo_walk_impl(key, graph: CsrGraph, node_ts, edge_ts, start, start_ts,
             ok = valid[:, 0]
 
         # Dead end: restart from a uniformly chosen earlier position of the
-        # SAME walk (rs:144-148).
-        restart_l = jax.random.randint(
-            jax.random.fold_in(step_key, 7), (B,), 0, l + 1)
-        r_idx = jnp.arange(B)
-        r_node = walks[r_idx, restart_l]
-        r_ts = ts_buf[r_idx, restart_l]
-
+        # SAME walk (rs:144-148).  The uniform prefix position is held as a
+        # per-walk reservoir candidate (replace with prob 1/(l+1)) so the
+        # scan carries O(B) state instead of the (B, L) walk buffers —
+        # exactly Algorithm R over positions 0..l.
         nxt = jnp.where(ok, nxt, r_node)
         nxt_ts = jnp.where(ok, nxt_ts, r_ts)
-        walks = walks.at[:, l + 1].set(nxt)
-        ts_buf = ts_buf.at[:, l + 1].set(nxt_ts)
-        return (walks, ts_buf, nxt), None
+
+        take = jax.random.uniform(jax.random.fold_in(step_key, 7), (B,)) \
+            < 1.0 / (l + 2).astype(jnp.float32)
+        new_r_node = jnp.where(take, nxt, r_node)
+        new_r_ts = jnp.where(take, nxt_ts, r_ts)
+        return (new_r_node, new_r_ts, nxt), (nxt, nxt_ts)
 
     if L <= 1:
-        return walks0, ts0
+        return start[:, None], start_ts[:, None]
     ls = jnp.arange(L - 1)
     step_keys = jax.random.split(key, L - 1)
-    (walks, ts_buf, _), _ = jax.lax.scan(step, (walks0, ts0, start), (ls, step_keys))
+    _, (steps, steps_ts) = jax.lax.scan(
+        step, (start, start_ts, start), (ls, step_keys))
+    walks = jnp.concatenate([start[:, None], steps.T], axis=1)
+    ts_buf = jnp.concatenate([start_ts[:, None], steps_ts.T], axis=1)
     return walks, ts_buf
 
 
@@ -318,12 +318,9 @@ def _biased_tempo_walk_impl(key, graph: CsrGraph, node_ts, edge_ts, start,
                            node_ts[graph.indices])
 
     def attempt(att_key):
-        walks0 = jnp.full((B, L), -1, jnp.int32).at[:, 0].set(start)
-        ts0 = jnp.full((B, L), -1, jnp.int32).at[:, 0].set(start_ts)
-
         def step(carry, inp):
             l, step_key = inp
-            walks, ts_buf, cur, cur_ts, alive = carry
+            cur, cur_ts, alive = carry
             pos = jnp.arange(D, dtype=jnp.int32)[None, :]
             if use_ell:
                 lanes, deg, starts = graph.ell_rows(
@@ -380,31 +377,42 @@ def _biased_tempo_walk_impl(key, graph: CsrGraph, node_ts, edge_ts, start,
             # cur_ts only advances on non-NaN draw (rs:277-279).
             new_cur_ts = jnp.where(
                 jnp.logical_and(ok, nxt_ts != NAN_TIMESTAMP), nxt_ts, cur_ts)
-            walks = walks.at[:, l + 1].set(jnp.where(ok, nxt, -1))
-            ts_buf = ts_buf.at[:, l + 1].set(jnp.where(ok, nxt_ts, -1))
-            return (walks, ts_buf, new_cur, new_cur_ts, ok), None
+            return ((new_cur, new_cur_ts, ok),
+                    (jnp.where(ok, nxt, -1), jnp.where(ok, nxt_ts, -1)))
 
         if L <= 1:
-            return walks0, ts0, jnp.ones((B,), jnp.bool_)
+            return (start[:, None], start_ts[:, None],
+                    jnp.ones((B,), jnp.bool_))
         ls = jnp.arange(L - 1)
         step_keys = jax.random.split(att_key, L - 1)
-        (walks, ts_buf, _, _, alive), _ = jax.lax.scan(
-            step, (walks0, ts0, start, start_ts, jnp.ones((B,), jnp.bool_)),
+        (_, _, alive), (steps, steps_ts) = jax.lax.scan(
+            step, (start, start_ts, jnp.ones((B,), jnp.bool_)),
             (ls, step_keys))
+        walks = jnp.concatenate([start[:, None], steps.T], axis=1)
+        ts_buf = jnp.concatenate([start_ts[:, None], steps_ts.T], axis=1)
         return walks, ts_buf, alive  # alive == completed all steps
 
-    def retry_body(i, carry):
-        walks, ts_buf, done = carry
+    # Whole-walk retry (rs:216,270-273) as a data-dependent while loop:
+    # most batches finish in one attempt, so the loop usually runs once
+    # instead of retry_count times (a fori_loop re-ran the full L-step scan
+    # per retry even with every walk already complete).
+    def retry_cond(carry):
+        i, _w, _t, done = carry
+        return jnp.logical_and(i < max(retry_count, 1),
+                               jnp.logical_not(jnp.all(done)))
+
+    def retry_body(carry):
+        i, walks, ts_buf, done = carry
         w, t, ok = attempt(jax.random.fold_in(key, i))
         take = jnp.logical_not(done)[:, None]
-        return (jnp.where(take, w, walks), jnp.where(take, t, ts_buf),
+        return (i + 1, jnp.where(take, w, walks), jnp.where(take, t, ts_buf),
                 jnp.logical_or(done, ok))
 
     walks = jnp.full((B, L), -1, jnp.int32)
     ts_buf = jnp.full((B, L), -1, jnp.int32)
     done = jnp.zeros((B,), jnp.bool_)
-    walks, ts_buf, done = jax.lax.fori_loop(
-        0, max(retry_count, 1), retry_body, (walks, ts_buf, done))
+    _, walks, ts_buf, done = jax.lax.while_loop(
+        retry_cond, retry_body, (jnp.int32(0), walks, ts_buf, done))
     return walks, ts_buf
 
 
