@@ -54,3 +54,71 @@ def synthetic_ogbn(name: str, *, seed: int = 0,
     x = rng.normal(size=(n, f)).astype(np.float32)
     y = rng.integers(0, c, size=n).astype(np.int64)
     return Data(x=x, edge_index=np.stack([src, dst]).astype(np.int64), y=y)
+
+
+def _mean_in_neighbors(h: np.ndarray, src: np.ndarray, dst: np.ndarray,
+                       num_nodes: int) -> np.ndarray:
+    """Row i of the result = mean of h[src[e]] over in-edges e with
+    dst[e] == i (zero for isolated nodes).  Vectorized via sort+reduceat."""
+    order = np.argsort(dst, kind="stable")
+    gathered = h[src[order]]
+    counts = np.bincount(dst, minlength=num_nodes)
+    starts = np.zeros(num_nodes, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    # reduceat needs strictly valid segment starts; handle empty rows by
+    # summing over present rows only, then scattering back.
+    present = counts > 0
+    sums = np.zeros((num_nodes, h.shape[1]), dtype=h.dtype)
+    if present.any():
+        sums[present] = np.add.reduceat(gathered, starts[present], axis=0)
+    return sums / np.maximum(counts, 1)[:, None]
+
+
+def planted_ogbn(name: str, *, seed: int = 0, scale: float = 1.0,
+                 teacher_hops: int = 2, noise: float = 1.0,
+                 split=(0.6, 0.2, 0.2)):
+    """Synthetic OGB stand-in with LEARNABLE, graph-structure-dependent
+    labels from a planted teacher.
+
+    ``synthetic_ogbn``'s labels are uniform-random (fine for throughput,
+    meaningless for accuracy); here labels come from a fixed random linear
+    probe over ``teacher_hops`` rounds of in-neighbor mean propagation of the
+    node features — exactly the aggregation family GraphSAGE expresses — plus
+    Gaussian label noise setting the accuracy ceiling.  A feature-only model
+    (MLP) provably cannot reach a propagation-aware model's accuracy on this
+    task, so it measures message passing, not memorization.  Used for the
+    accuracy-parity row of BASELINE.md (the real OGB data needs network
+    egress, unavailable here).
+
+    Returns ``(data, split_dict)`` with ``split_dict`` =
+    ``{"train": idx, "valid": idx, "test": idx}`` (disjoint, seeded).
+    """
+    n, e, f, c = OGBN_SPECS[name]
+    n = max(int(n * scale), 1000)
+    e = max(int(e * scale), 10 * n)
+    rng = np.random.default_rng(seed)
+    pop = (1.0 / (np.arange(n) + 10.0)) ** 0.8
+    pop /= pop.sum()
+    src = rng.choice(n, size=e, p=pop)
+    dst = rng.integers(0, n, size=e)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+
+    w = (rng.normal(size=(f, c)) / np.sqrt(f)).astype(np.float32)
+    h = x @ w
+    for _ in range(teacher_hops):
+        h = 0.5 * h + 0.5 * _mean_in_neighbors(h, src, dst, n)
+    # scale class scores to unit variance so `noise` is in signal units
+    h = h / max(h.std(), 1e-6)
+    logits = h * 3.0 + noise * rng.normal(size=h.shape).astype(np.float32)
+    y = logits.argmax(axis=1).astype(np.int64)
+
+    perm = rng.permutation(n)
+    n_tr = int(split[0] * n)
+    n_va = int(split[1] * n)
+    split_dict = {
+        "train": np.sort(perm[:n_tr]),
+        "valid": np.sort(perm[n_tr:n_tr + n_va]),
+        "test": np.sort(perm[n_tr + n_va:]),
+    }
+    data = Data(x=x, edge_index=np.stack([src, dst]).astype(np.int64), y=y)
+    return data, split_dict

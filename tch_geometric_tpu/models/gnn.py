@@ -16,6 +16,7 @@ from ..data.graph import SparseGraph
 from ..ops.segment import csr_row_ids, segment_softmax, segment_sum
 from ..ops.spmm import spmm
 from ..sampling.neighbor import NeighborSample
+from .sage import torch_bias_init, torch_kernel_init
 
 
 class GCNConv(nn.Module):
@@ -26,7 +27,9 @@ class GCNConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph: SparseGraph, *, add_self_loops: bool = True):
-        w = nn.Dense(self.features, use_bias=True, dtype=self.dtype)
+        w = nn.Dense(self.features, use_bias=True, dtype=self.dtype,
+                     kernel_init=torch_kernel_init,
+                     bias_init=torch_bias_init(x.shape[-1]))
         h = w(x)
         deg = graph.degree(jnp.arange(graph.num_ptr_nodes))
         if add_self_loops:
@@ -57,7 +60,8 @@ class GATConv(nn.Module):
         H = self.heads
         d = self.features // H
         assert self.features % H == 0
-        w = nn.Dense(self.features, use_bias=False, dtype=self.dtype)
+        w = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+                     kernel_init=torch_kernel_init)
         h = w(x).reshape(-1, H, d)
         a_src = self.param("a_src", nn.initializers.lecun_normal(), (H, d))
         a_dst = self.param("a_dst", nn.initializers.lecun_normal(), (H, d))

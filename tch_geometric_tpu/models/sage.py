@@ -25,6 +25,23 @@ from ..ops.spmm import spmm
 from ..sampling.neighbor import NeighborSample
 
 
+# torch.nn.Linear default init (kaiming_uniform(a=sqrt(5)) = U(±1/sqrt(fan_in)),
+# bias U(±1/sqrt(fan_in))) — the init the reference's downstream PyG models
+# get.  Measured on planted-label tasks (scripts/bench_accuracy.py): flax's
+# default lecun_normal + zero bias converges markedly slower under dropout
+# (stalls at 0.24 vs 0.30 val at equal epochs), so parity requires parity of
+# init, not just of math.
+torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in",
+                                                     "uniform")
+
+
+def torch_bias_init(fan_in: int):
+    bound = 1.0 / (fan_in ** 0.5)
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
 class SAGEConv(nn.Module):
     """out = W_self x + W_neigh agg(x_neighbors)  (+bias)."""
 
@@ -35,9 +52,12 @@ class SAGEConv(nn.Module):
     @nn.compact
     def __call__(self, x_self, x_agg):
         w_self = nn.Dense(self.features, use_bias=self.use_bias,
-                          dtype=self.dtype, name="lin_self")
+                          dtype=self.dtype, name="lin_self",
+                          kernel_init=torch_kernel_init,
+                          bias_init=torch_bias_init(x_self.shape[-1]))
         w_neigh = nn.Dense(self.features, use_bias=False,
-                           dtype=self.dtype, name="lin_neigh")
+                           dtype=self.dtype, name="lin_neigh",
+                           kernel_init=torch_kernel_init)
         return w_self(x_self) + w_neigh(x_agg)
 
 
@@ -59,26 +79,38 @@ def tree_neighbor_mean(h: jax.Array, valid: jax.Array,
 
 
 class GraphSAGE(nn.Module):
-    """Multi-layer GraphSAGE with mean aggregation."""
+    """Multi-layer GraphSAGE with mean aggregation.
+
+    ``dropout`` (applied to hidden activations between layers, train only)
+    matches the downstream PyG usage the reference delegates to — sampled
+    GNN training overfits without it on small labeled graphs."""
 
     hidden: int
     out: int
     num_layers: int
     dtype: Optional[jnp.dtype] = None
+    dropout: float = 0.0
 
     def setup(self):
         feats = [self.hidden] * (self.num_layers - 1) + [self.out]
         self.convs = [SAGEConv(f, dtype=self.dtype, name=f"conv{i}")
                       for i, f in enumerate(feats)]
+        self.drop = nn.Dropout(rate=self.dropout)
 
-    def __call__(self, x, graph: SparseGraph):
+    def _act(self, h, i, deterministic):
+        if i < self.num_layers - 1:
+            h = nn.relu(h)
+            if self.dropout > 0.0:
+                h = self.drop(h, deterministic=deterministic)
+        return h
+
+    def __call__(self, x, graph: SparseGraph, *, deterministic: bool = True):
         """Full-graph forward: x (N, F), CSC in-neighbor adjacency."""
         h = x
         for i, conv in enumerate(self.convs):
             agg = spmm(graph, h, agg="mean")
             h = conv(h, agg)
-            if i < self.num_layers - 1:
-                h = nn.relu(h)
+            h = self._act(h, i, deterministic)
         return h
 
     def blocked_forward(self, x, blocked, compute_dtype=jnp.bfloat16):
@@ -101,11 +133,11 @@ class GraphSAGE(nn.Module):
                     blocked, h, agg="mean",
                     compute_dtype=compute_dtype).astype(h.dtype)
             h = conv(h, agg)
-            if i < self.num_layers - 1:
-                h = nn.relu(h)
+            h = self._act(h, i, True)
         return h
 
-    def tree_forward(self, sample: NeighborSample, x):
+    def tree_forward(self, sample: NeighborSample, x, *,
+                     deterministic: bool = True):
         """Sampled-batch forward: x (N_total, F) per-slot features.
 
         Layer j updates slots at depths 0..num_hops-1-j from depths one
@@ -126,7 +158,6 @@ class GraphSAGE(nn.Module):
                  for d in range(keep_depths)], axis=0)
             n_keep = sample.node_base[keep_depths]
             h = conv(h[:n_keep], aggs)
-            if j < self.num_layers - 1:
-                h = nn.relu(h)
+            h = self._act(h, j, deterministic)
         num_seeds = sample.node_base[1]
         return h[:num_seeds]

@@ -61,9 +61,11 @@ def make_sage_trainer(
         x = x_table[jnp.clip(sample.nodes, 0, x_table.shape[0] - 1)]
         return sample, x
 
-    def loss_fn(params, key, graph, x_table, seeds, labels):
+    def loss_fn(params, key, graph, x_table, seeds, labels,
+                deterministic=True):
         sample, x = sample_and_gather(key, graph, x_table, seeds)
-        logits = model.apply(params, sample, x,
+        logits = model.apply(params, sample, x, deterministic=deterministic,
+                             rngs={"dropout": rng.fold(key, rng.DROPOUT_STREAM)},
                              method=GraphSAGE.tree_forward)
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, labels).mean()
@@ -79,7 +81,7 @@ def make_sage_trainer(
     def train_step(state: TrainState, key, graph, x_table, seeds, labels):
         step_key = rng.fold(key, state.step)
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, step_key, graph, x_table, seeds, labels)
+            state.params, step_key, graph, x_table, seeds, labels, False)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         acc = (logits.argmax(-1) == labels).mean()
@@ -137,13 +139,15 @@ def make_multibatch_sage_trainer(
         # make_sage_trainer.sample_and_gather (seed logits are invariant,
         # masking costs a full pass over the gathered tensor).
         xg = x_table[jnp.clip(sample.nodes, 0, x_table.shape[0] - 1)]
-        return sample, xg
+        return sample, xg, keys
 
-    def one_update(params_opt, sample_m, x_m, labels_m):
+    def one_update(params_opt, key_m, sample_m, x_m, labels_m):
         params, opt_state = params_opt
 
         def loss_fn(p):
-            logits = model.apply(p, sample_m, x_m,
+            logits = model.apply(p, sample_m, x_m, deterministic=False,
+                                 rngs={"dropout": rng.fold(key_m,
+                                                           rng.DROPOUT_STREAM)},
                                  method=GraphSAGE.tree_forward)
             loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits, labels_m).mean()
@@ -156,8 +160,8 @@ def make_multibatch_sage_trainer(
         return (params, opt_state), (loss, acc)
 
     def init_fn(key, graph, x_table, seeds):
-        sample, xg = sample_gather_all(key, jnp.zeros((), jnp.int32),
-                                       graph, x_table, seeds[None])
+        sample, xg, _keys = sample_gather_all(key, jnp.zeros((), jnp.int32),
+                                              graph, x_table, seeds[None])
         one_sample = jax.tree.map(lambda a: a[0], sample)
         params = model.init(key, one_sample, xg[0],
                             method=GraphSAGE.tree_forward)
@@ -166,15 +170,16 @@ def make_multibatch_sage_trainer(
 
     @jax.jit
     def train_step(state: TrainState, key, graph, x_table, seeds, labels):
-        sample, xg = sample_gather_all(key, state.step, graph, x_table, seeds)
+        sample, xg, keys = sample_gather_all(key, state.step, graph,
+                                             x_table, seeds)
 
         def body(carry, inp):
-            sample_m, x_m, labels_m = inp
-            carry, out = one_update(carry, sample_m, x_m, labels_m)
+            key_m, sample_m, x_m, labels_m = inp
+            carry, out = one_update(carry, key_m, sample_m, x_m, labels_m)
             return carry, out
 
         (params, opt_state), (losses, accs) = jax.lax.scan(
-            body, (state.params, state.opt_state), (sample, xg, labels))
+            body, (state.params, state.opt_state), (keys, sample, xg, labels))
         M = seeds.shape[0]
         return (TrainState(params, opt_state, state.step + M),
                 losses, accs)

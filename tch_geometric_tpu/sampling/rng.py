@@ -37,6 +37,14 @@ def next_key() -> jax.Array:
     return out
 
 
+# Samplers fold SMALL structural coordinates (hop index, batch offset) into
+# their keys, so auxiliary random consumers sharing the same base key must
+# fold a LARGE tag first to land in a disjoint key subspace — e.g. dropout
+# with fold(key, 1) would be bit-identical to hop 1's sampling key and its
+# masks would correlate with the neighbor draws (measured: stalls training).
+DROPOUT_STREAM = 0x64726F70  # "drop"
+
+
 def fold(key: jax.Array, *coords: int) -> jax.Array:
     """Derive a subkey from structured coordinates.
 
