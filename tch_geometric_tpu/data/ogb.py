@@ -57,20 +57,23 @@ def synthetic_ogbn(name: str, *, seed: int = 0,
 
 
 def _mean_in_neighbors(h: np.ndarray, src: np.ndarray, dst: np.ndarray,
-                       num_nodes: int) -> np.ndarray:
+                       num_nodes: int,
+                       chunk_edges: int = 8_000_000) -> np.ndarray:
     """Row i of the result = mean of h[src[e]] over in-edges e with
-    dst[e] == i (zero for isolated nodes).  Vectorized via sort+reduceat."""
+    dst[e] == i (zero for isolated nodes).  Vectorized via sort+reduceat,
+    chunked over edges so the gathered intermediate stays bounded
+    (products scale: 62M edges x 47 classes would be ~12 GB unchunked)."""
     order = np.argsort(dst, kind="stable")
-    gathered = h[src[order]]
     counts = np.bincount(dst, minlength=num_nodes)
-    starts = np.zeros(num_nodes, dtype=np.int64)
-    np.cumsum(counts[:-1], out=starts[1:])
-    # reduceat needs strictly valid segment starts; handle empty rows by
-    # summing over present rows only, then scattering back.
-    present = counts > 0
     sums = np.zeros((num_nodes, h.shape[1]), dtype=h.dtype)
-    if present.any():
-        sums[present] = np.add.reduceat(gathered, starts[present], axis=0)
+    e = len(order)
+    for lo in range(0, e, chunk_edges):
+        sel = order[lo:lo + chunk_edges]
+        d = dst[sel]
+        gathered = h[src[sel]]
+        # segment boundaries within this sorted-dst chunk
+        row_ids, starts_local = np.unique(d, return_index=True)
+        sums[row_ids] += np.add.reduceat(gathered, starts_local, axis=0)
     return sums / np.maximum(counts, 1)[:, None]
 
 

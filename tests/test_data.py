@@ -102,3 +102,46 @@ def test_degree_matches_numpy(fake_dataset):
     got = np.asarray(g.degree(np.arange(n)))
     assert np.array_equal(got, expect)
     assert g.max_degree == expect.max()
+
+
+def test_planted_ogbn_labels_learnable_and_split_sane():
+    """planted_ogbn (data/ogb.py): labels must depend on graph structure
+    (propagated teacher beats a feature-only probe), splits disjoint, and
+    the chunked teacher propagation must match a dense accumulation."""
+    from tch_geometric_tpu.data.ogb import _mean_in_neighbors, planted_ogbn
+
+    data, split = planted_ogbn("ogbn-arxiv", scale=0.02, noise=0.5)
+    n = data.x.shape[0]
+    y = np.asarray(data.y)
+    idx = np.concatenate([split["train"], split["valid"], split["test"]])
+    assert len(np.unique(idx)) == len(idx) == n  # disjoint, exhaustive
+    # no degenerate class collapse
+    assert (np.bincount(y).max() / n) < 0.25
+
+    # chunked propagation == dense accumulation
+    rng = np.random.default_rng(1)
+    h = rng.normal(size=(n, 5)).astype(np.float32)
+    src, dst = data.edge_index
+    a = _mean_in_neighbors(h, src, dst, n, chunk_edges=5000)
+    sums = np.zeros((n, 5), np.float32)
+    np.add.at(sums, dst, h[src])
+    b = sums / np.maximum(np.bincount(dst, minlength=n), 1)[:, None]
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+    # structure-dependence: a linear probe on teacher-propagated features
+    # must beat the same probe on raw features (labels can't be recovered
+    # feature-only)
+    def probe_acc(feats):
+        import numpy.linalg as la
+        tr, te = split["train"], split["test"]
+        k = int(y.max()) + 1
+        onehot = np.eye(k, dtype=np.float32)[y[tr]]
+        w = la.lstsq(feats[tr], onehot, rcond=None)[0]
+        return float((feats[te] @ w).argmax(1).__eq__(y[te]).mean())
+
+    hp = data.x.copy()
+    for _ in range(2):
+        hp = 0.5 * hp + 0.5 * _mean_in_neighbors(hp, src, dst, n)
+    acc_prop = probe_acc(hp)
+    acc_raw = probe_acc(data.x)
+    assert acc_prop > acc_raw + 0.05, (acc_prop, acc_raw)
