@@ -19,18 +19,56 @@ from ..sampling.neighbor import NeighborSample
 from .sage import torch_bias_init, torch_kernel_init
 
 
+def tree_child_counts(sample: NeighborSample) -> jax.Array:
+    """Valid-child count per tree slot (0 for the deepest layer's slots) —
+    the sampled-subtree degree used for GCN normalization on tree batches."""
+    parts = []
+    for d in range(sample.num_hops):
+        k = sample.fanouts[d]
+        clo, chi = sample.node_base[d + 1], sample.node_base[d + 2]
+        parts.append(sample.node_valid[clo:chi]
+                     .reshape(-1, k).sum(axis=1).astype(jnp.int32))
+    n_total = sample.node_base[sample.num_hops + 1]
+    deepest = n_total - sample.node_base[sample.num_hops]
+    parts.append(jnp.zeros((deepest,), jnp.int32))
+    return jnp.concatenate(parts)
+
+
 class GCNConv(nn.Module):
-    """Symmetric-normalized graph convolution: D^-1/2 A D^-1/2 X W."""
+    """Symmetric-normalized graph convolution: D^-1/2 A D^-1/2 X W.
+
+    Pass ``graph`` for the full-graph path, or ``sample`` (+``keep_depths``)
+    for a padded-tree batch — normalization then uses the sampled-subtree
+    degrees (valid-child counts), the tree analogue of PyG's
+    NeighborLoader-sampled GCN."""
 
     features: int
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, graph: SparseGraph, *, add_self_loops: bool = True):
+    def __call__(self, x, graph: Optional[SparseGraph] = None, *,
+                 add_self_loops: bool = True,
+                 sample: Optional[NeighborSample] = None,
+                 keep_depths: Optional[int] = None):
         w = nn.Dense(self.features, use_bias=True, dtype=self.dtype,
                      kernel_init=torch_kernel_init,
                      bias_init=torch_bias_init(x.shape[-1]))
         h = w(x)
+        if sample is not None:
+            cnt = tree_child_counts(sample)[: h.shape[0]]
+            inv_sqrt = jax.lax.rsqrt((cnt + 1).astype(h.dtype))
+            hn = h * inv_sqrt[:, None]
+            outs = []
+            for d in range(keep_depths):
+                k = sample.fanouts[d]
+                lo, hi = sample.node_base[d], sample.node_base[d + 1]
+                clo, chi = sample.node_base[d + 1], sample.node_base[d + 2]
+                child = hn[clo:chi].reshape(hi - lo, k, -1)
+                cm = sample.node_valid[clo:chi].reshape(hi - lo, k, 1)
+                outs.append((child * cm.astype(h.dtype)).sum(axis=1))
+            n_keep = sample.node_base[keep_depths]
+            agg = jnp.concatenate(outs, axis=0) * inv_sqrt[:n_keep, None]
+            return agg + h[:n_keep] * (inv_sqrt[:n_keep] ** 2)[:, None]
         deg = graph.degree(jnp.arange(graph.num_ptr_nodes))
         if add_self_loops:
             norm_deg = deg + 1
@@ -53,10 +91,14 @@ class GATConv(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, graph: SparseGraph, blocked=None):
+    def __call__(self, x, graph: Optional[SparseGraph] = None, blocked=None,
+                 *, sample: Optional[NeighborSample] = None,
+                 keep_depths: Optional[int] = None):
         """``blocked``: optional ``BlockedCsr`` of the same adjacency — routes
         attention through the scatter-free Pallas path
-        (ops/attention_blocked.py) instead of XLA segment ops."""
+        (ops/attention_blocked.py) instead of XLA segment ops.
+        ``sample`` (+``keep_depths``): padded-tree batch — dense per-depth
+        attention over the fanout axis (``tree_attention``), no scatter."""
         H = self.heads
         d = self.features // H
         assert self.features % H == 0
@@ -65,6 +107,13 @@ class GATConv(nn.Module):
         h = w(x).reshape(-1, H, d)
         a_src = self.param("a_src", nn.initializers.lecun_normal(), (H, d))
         a_dst = self.param("a_dst", nn.initializers.lecun_normal(), (H, d))
+
+        if sample is not None:
+            hf = h.reshape(-1, H * d)
+            outs = [self.tree_attention(hf, sample.node_valid, sample,
+                                        dd, a_src, a_dst)
+                    for dd in range(keep_depths)]
+            return jnp.concatenate(outs, axis=0)
 
         alpha_src = (h * a_src[None]).sum(-1)           # (N, H)
         alpha_dst = (h * a_dst[None]).sum(-1)
@@ -101,7 +150,9 @@ class GATConv(nn.Module):
         logits = jax.nn.leaky_relu(
             (hc * a_src[None, None]).sum(-1)
             + (hd * a_dst[None]).sum(-1)[:, None, :], 0.2)     # (B, k, H)
-        logits = jnp.where(mask[..., None], logits, -jnp.inf)
+        # -1e9 (not -inf): parents with zero valid children would softmax
+        # all--inf rows into nans that leak through jnp.where's gradient
+        logits = jnp.where(mask[..., None], logits, -1e9)
         att = jax.nn.softmax(logits, axis=1)
         att = jnp.where(mask[..., None], att, 0.0)
         return (hc * att[..., None]).sum(axis=1).reshape(B, H * d)
@@ -112,16 +163,38 @@ class GCN(nn.Module):
     out: int
     num_layers: int
     dtype: Optional[jnp.dtype] = None
+    dropout: float = 0.0
 
-    @nn.compact
-    def __call__(self, x, graph: SparseGraph):
-        h = x
-        for i in range(self.num_layers):
-            f = self.out if i == self.num_layers - 1 else self.hidden
-            h = GCNConv(f, dtype=self.dtype)(h, graph)
-            if i < self.num_layers - 1:
-                h = nn.relu(h)
+    def setup(self):
+        feats = [self.hidden] * (self.num_layers - 1) + [self.out]
+        self.convs = [GCNConv(f, dtype=self.dtype, name=f"GCNConv_{i}")
+                      for i, f in enumerate(feats)]
+        self.drop = nn.Dropout(rate=self.dropout)
+
+    def _act(self, h, i, deterministic):
+        if i < self.num_layers - 1:
+            h = nn.relu(h)
+            if self.dropout > 0.0:
+                h = self.drop(h, deterministic=deterministic)
         return h
+
+    def __call__(self, x, graph: SparseGraph, *, deterministic: bool = True):
+        h = x
+        for i, conv in enumerate(self.convs):
+            h = conv(h, graph)
+            h = self._act(h, i, deterministic)
+        return h
+
+    def tree_forward(self, sample: NeighborSample, x, *,
+                     deterministic: bool = True):
+        """Sampled-tree forward (see GraphSAGE.tree_forward): returns
+        seed-node logits (num_seeds, out)."""
+        assert sample.num_hops >= self.num_layers
+        h = x
+        for j, conv in enumerate(self.convs):
+            h = conv(h, sample=sample, keep_depths=sample.num_hops - j)
+            h = self._act(h, j, deterministic)
+        return h[: sample.node_base[1]]
 
 
 class GAT(nn.Module):
@@ -130,14 +203,39 @@ class GAT(nn.Module):
     num_layers: int
     heads: int = 4
     dtype: Optional[jnp.dtype] = None
+    dropout: float = 0.0
 
-    @nn.compact
-    def __call__(self, x, graph: SparseGraph):
-        h = x
+    def setup(self):
+        convs = []
         for i in range(self.num_layers):
             f = self.out if i == self.num_layers - 1 else self.hidden
             heads = 1 if i == self.num_layers - 1 else self.heads
-            h = GATConv(max(f, heads), heads=heads, dtype=self.dtype)(h, graph)
-            if i < self.num_layers - 1:
-                h = nn.elu(h)
+            convs.append(GATConv(max(f, heads), heads=heads, dtype=self.dtype,
+                                 name=f"GATConv_{i}"))
+        self.convs = convs
+        self.drop = nn.Dropout(rate=self.dropout)
+
+    def _act(self, h, i, deterministic):
+        if i < self.num_layers - 1:
+            h = nn.elu(h)
+            if self.dropout > 0.0:
+                h = self.drop(h, deterministic=deterministic)
         return h
+
+    def __call__(self, x, graph: SparseGraph, *, deterministic: bool = True):
+        h = x
+        for i, conv in enumerate(self.convs):
+            h = conv(h, graph)
+            h = self._act(h, i, deterministic)
+        return h
+
+    def tree_forward(self, sample: NeighborSample, x, *,
+                     deterministic: bool = True):
+        """Sampled-tree forward via dense per-depth attention (no scatter);
+        returns seed-node logits (num_seeds, out)."""
+        assert sample.num_hops >= self.num_layers
+        h = x
+        for j, conv in enumerate(self.convs):
+            h = conv(h, sample=sample, keep_depths=sample.num_hops - j)
+            h = self._act(h, j, deterministic)
+        return h[: sample.node_base[1]]

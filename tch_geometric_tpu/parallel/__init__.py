@@ -1,4 +1,5 @@
 from .mesh import data_sharding, make_mesh, param_sharding_rule, replicated, shard_params
-from .train import TrainState, make_multibatch_sage_trainer, make_sage_trainer
+from .train import (TrainState, make_gnn_trainer,
+                    make_multibatch_sage_trainer, make_sage_trainer)
 from .hgt_train import HGTTrainState, make_hgt_trainer
 from .resilience import barrier, inject_shard_fault, shard_checksums

@@ -30,20 +30,23 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def make_sage_trainer(
-    model: GraphSAGE,
+def make_gnn_trainer(
+    model,
     fanouts: Sequence[int],
     *,
     learning_rate: float = 1e-2,
     with_replacement: bool = True,
     window: int = 256,
 ):
-    """Build (init_fn, train_step, eval_step) closures for sampled GraphSAGE.
+    """Build (init_fn, train_step, eval_step) closures for sampled training
+    of any model exposing ``tree_forward(sample, x, deterministic=...)``
+    (GraphSAGE, GCN, GAT — models/).
 
     train_step(state, key, graph, x_table, seeds, labels) -> (state, loss)
     — seeds/labels may be sharded over a mesh 'data' axis; everything inside
     is jit-compiled including the neighbor sampling itself.
     """
+    tree_forward = type(model).tree_forward
     fanouts = tuple(int(k) for k in fanouts)
     tx = optax.adam(learning_rate)
 
@@ -66,14 +69,14 @@ def make_sage_trainer(
         sample, x = sample_and_gather(key, graph, x_table, seeds)
         logits = model.apply(params, sample, x, deterministic=deterministic,
                              rngs={"dropout": rng.fold(key, rng.DROPOUT_STREAM)},
-                             method=GraphSAGE.tree_forward)
+                             method=tree_forward)
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, labels).mean()
         return loss, logits
 
     def init_fn(key, graph, x_table, seeds):
         sample, x = sample_and_gather(key, graph, x_table, seeds)
-        params = model.init(key, sample, x, method=GraphSAGE.tree_forward)
+        params = model.init(key, sample, x, method=tree_forward)
         return TrainState(params=params, opt_state=tx.init(params),
                           step=jnp.zeros((), jnp.int32))
 
@@ -93,6 +96,11 @@ def make_sage_trainer(
         return loss, (logits.argmax(-1) == labels).mean()
 
     return init_fn, train_step, eval_step
+
+
+def make_sage_trainer(model: GraphSAGE, fanouts: Sequence[int], **kw):
+    """Alias of :func:`make_gnn_trainer` (kept for the original API)."""
+    return make_gnn_trainer(model, fanouts, **kw)
 
 
 def make_multibatch_sage_trainer(

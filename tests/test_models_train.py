@@ -355,3 +355,71 @@ def test_sage_blocked_forward_matches_spmm(karate):
         out16 = np.asarray(model.apply(params, xj, layout,
                                        method=GraphSAGE.blocked_forward))
         np.testing.assert_allclose(out16, ref, rtol=3e-2, atol=3e-2)
+
+
+def test_gat_gcn_sampled_training_karate(karate):
+    """GAT and GCN train through the generic sampled-tree trainer
+    (make_gnn_trainer) to high accuracy on karate — the same e2e milestone
+    as GraphSAGE, for the other model families."""
+    from tch_geometric_tpu.models import GAT, GCN
+    from tch_geometric_tpu.parallel import make_gnn_trainer
+
+    x_feat, y, edge_index = karate
+    g = csc_graph_from_coo(edge_index, 34)
+    x = jnp.asarray(x_feat)
+    labels = jnp.asarray(y)
+    seeds = jnp.arange(34)
+    for model in (GAT(hidden=16, out=int(y.max()) + 1, num_layers=2, heads=4,
+                      dropout=0.1),
+                  GCN(hidden=32, out=int(y.max()) + 1, num_layers=2)):
+        init_fn, train_step, eval_step = make_gnn_trainer(
+            model, [4, 3], learning_rate=1e-2)
+        key = jax.random.key(0)
+        state = init_fn(key, g, x, seeds)
+        for _ in range(80):
+            state, loss, acc = train_step(state, key, g, x, seeds,
+                                          labels[seeds])
+        loss, acc = eval_step(state, key, g, x, seeds, labels[seeds])
+        name = type(model).__name__
+        assert float(acc) >= 0.85, (name, float(loss), float(acc))
+        assert np.isfinite(float(loss)), name
+
+
+def test_gat_tree_attention_matches_numpy(karate):
+    """tree_attention (models/gnn.py) against a direct numpy masked-softmax
+    computation on one sampled tree layer."""
+    from tch_geometric_tpu.models.gnn import GATConv
+    from tch_geometric_tpu.sampling.neighbor import _sample_neighbors_impl
+
+    x_feat, _y, edge_index = karate
+    g = csc_graph_from_coo(edge_index, 34)
+    seeds = jnp.arange(8, dtype=jnp.int32)
+    zeros = jnp.zeros((8,), jnp.int32)
+    sample = _sample_neighbors_impl(jax.random.key(3), g, seeds, zeros,
+                                    None, None, (4,), True, None, 256)
+    H, d = 2, 3
+    rng = np.random.default_rng(0)
+    h = rng.normal(size=(int(sample.node_base[2]), H * d)).astype(np.float32)
+    a_src = rng.normal(size=(H, d)).astype(np.float32)
+    a_dst = rng.normal(size=(H, d)).astype(np.float32)
+
+    out = np.asarray(GATConv.tree_attention(
+        jnp.asarray(h), sample.node_valid, sample, 0,
+        jnp.asarray(a_src), jnp.asarray(a_dst)))
+
+    k = sample.fanouts[0]
+    B = int(sample.node_base[1])
+    hr = h.reshape(-1, H, d)
+    valid = np.asarray(sample.node_valid)
+    expect = np.zeros((B, H * d), np.float32)
+    for i in range(B):
+        for hh in range(H):
+            ch = np.arange(B + i * k, B + (i + 1) * k)
+            m = valid[ch]
+            lo = (hr[ch, hh] * a_src[hh]).sum(-1) + (hr[i, hh] * a_dst[hh]).sum(-1)
+            lo = np.where(lo > 0, lo, 0.2 * lo)       # leaky_relu
+            lo = np.where(m, lo, -1e9)
+            e = np.exp(lo - lo.max())
+            att = np.where(m, e / e.sum(), 0.0)
+            expect[i, hh * d:(hh + 1) * d] = (att[:, None] * hr[ch, hh]).sum(0)
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
