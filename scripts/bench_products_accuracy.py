@@ -63,19 +63,45 @@ def main(scale=1.0, steps=120, m=8, batch=512, hidden=256, dropout=0.2,
     state = init_fn(key, graph, x, seeds0[0])
     log(f"init {time.time()-t0:.0f}s")
 
-    # full-graph inference via segmented blocked-ELL (fits HBM at 62M edges)
+    # full-graph inference via segmented blocked-ELL (fits HBM at 62M edges);
+    # the host build is O(E log E) numpy (~10-30 min at 62M edges on this
+    # 2-vCPU box), so cache it on disk keyed by the graph config
     t0 = time.time()
-    indptr = np.asarray(graph.indptr)
-    indices = np.asarray(graph.indices)
-    seg = build_blocked_segmented(indptr, indices, num_segments=32)
-    log(f"segmented blocked build {time.time()-t0:.0f}s")
+    cache = f"/tmp/seg_blocked_products_{scale}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        from tch_geometric_tpu.ops.spmm_blocked import SegmentedBlockedCsr
+        seg = SegmentedBlockedCsr(
+            edge_src=jnp.asarray(z["edge_src"]),
+            edge_local_row=jnp.asarray(z["edge_local_row"]),
+            chunk_block=jnp.asarray(z["chunk_block"]),
+            block_start=jnp.asarray(z["block_start"]),
+            degree=jnp.asarray(z["degree"]),
+            num_rows=int(z["num_rows"]), rows_per_block=int(z["rows_per_block"]),
+            chunk_edges=int(z["chunk_edges"]),
+            blocks_per_segment=int(z["blocks_per_segment"]))
+        log(f"segmented blocked layout from cache {time.time()-t0:.0f}s")
+    else:
+        indptr = np.asarray(graph.indptr)
+        indices = np.asarray(graph.indices)
+        seg = build_blocked_segmented(indptr, indices, num_segments=32)
+        np.savez(cache, edge_src=np.asarray(seg.edge_src),
+                 edge_local_row=np.asarray(seg.edge_local_row),
+                 chunk_block=np.asarray(seg.chunk_block),
+                 block_start=np.asarray(seg.block_start),
+                 degree=np.asarray(seg.degree),
+                 num_rows=seg.num_rows, rows_per_block=seg.rows_per_block,
+                 chunk_edges=seg.chunk_edges,
+                 blocks_per_segment=seg.blocks_per_segment)
+        log(f"segmented blocked build {time.time()-t0:.0f}s (cached)")
 
     @jax.jit
     def infer(params):
         return model.apply(params, x, seg, method=GraphSAGE.blocked_forward
                            ).argmax(-1)
 
-    best_va, best_te, t_train = 0.0, 0.0, 0.0
+    best_va, best_te, t_train, mb_timed = 0.0, 0.0, 0.0, 0
+    eval_every = max(20, steps // 10)
     for step in range(steps):
         seeds = jnp.asarray(
             rng_np.choice(tr, (m, batch)).astype(np.int32))
@@ -83,10 +109,18 @@ def main(scale=1.0, steps=120, m=8, batch=512, hidden=256, dropout=0.2,
         state, losses, accs = train_step(state, key, graph, x, seeds,
                                          labels[seeds])
         jax.block_until_ready(losses)
-        t_train += time.time() - t0
-        if step % 20 == 19 or step == steps - 1:
+        if step > 0:                      # step 0 pays the compile
+            t_train += time.time() - t0
+            mb_timed += m
+        if step % eval_every == eval_every - 1 or step == steps - 1:
             t0 = time.time()
-            pred = np.asarray(infer(state.params))
+            try:
+                pred = np.asarray(infer(state.params))
+            except Exception as ex:  # axon tunnel compile service is flaky
+                log(f"eval failed at step {step} ({type(ex).__name__}); "
+                    "retrying once after 30s")
+                time.sleep(30)
+                pred = np.asarray(infer(state.params))
             t_inf = time.time() - t0
             va_acc = float((pred[va] == y_np[va]).mean())
             te_acc = float((pred[te] == y_np[te]).mean())
@@ -96,13 +130,12 @@ def main(scale=1.0, steps=120, m=8, batch=512, hidden=256, dropout=0.2,
                 f"loss {float(losses[-1]):.3f} val {va_acc:.4f} "
                 f"test {te_acc:.4f} (infer {t_inf:.1f}s)")
 
-    mb = steps * m
     print(json.dumps({
         "dataset": "planted-ogbn-products", "scale": scale,
         "N": int(data.x.shape[0]), "E": int(data.edge_index.shape[1]),
         "test_acc": round(best_te, 4),
-        "minibatches": mb,
-        "ms_per_minibatch": round(t_train / mb * 1e3, 2),
+        "minibatches": steps * m,
+        "ms_per_minibatch": round(t_train / max(mb_timed, 1) * 1e3, 2),
     }))
 
 
