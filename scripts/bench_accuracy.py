@@ -109,6 +109,106 @@ def train_torch_sage(data, split, hidden=256, layers=3, epochs=150,
     return best_te
 
 
+def train_torch_sampled(data, split, hidden=256, layers=3,
+                        fanouts=(15, 10, 5), batch_size=512, steps=600,
+                        lr=1e-2, seed=0, dropout=0.5, eval_every=100):
+    """The REFERENCE paradigm end-to-end on torch-CPU: neighbor-sampled
+    minibatch training, trees drawn by our reference-parity sampler API
+    (same tree semantics as /root/reference's homogeneous sampler — no
+    dedup, per-layer offsets), model = PyG-style SAGE over the sampled
+    edges per layer.  This is what a tch-geometric user's training loop
+    actually does (reference examples/neighbor_sampling.py: sample ->
+    filter_data -> SAGEConv)."""
+    import torch
+    import torch.nn as tnn
+    import tch_geometric_tpu as tgt
+
+    torch.manual_seed(seed)
+    n, f = data.x.shape
+    c = int(data.y.max()) + 1
+    col_ptrs, row_indices, _perm = tgt.to_csc(data.edge_index, n)
+    x = torch.from_numpy(np.asarray(data.x))
+    y = torch.from_numpy(np.asarray(data.y))
+    va, te = split["valid"], split["test"]
+
+    dims = [f] + [hidden] * (layers - 1) + [c]
+    self_lins = tnn.ModuleList(
+        [tnn.Linear(dims[i], dims[i + 1]) for i in range(layers)])
+    neigh_lins = tnn.ModuleList(
+        [tnn.Linear(dims[i], dims[i + 1], bias=False) for i in range(layers)])
+    params = list(self_lins.parameters()) + list(neigh_lins.parameters())
+    opt = torch.optim.Adam(params, lr=lr)
+
+    def tree_forward(samples, rows, cols, offsets, training):
+        """PyG-NeighborLoader-style: each layer aggregates over all sampled
+        edges, then narrows to the nodes reachable in remaining layers."""
+        h = x[torch.from_numpy(samples)]
+        rows_t = torch.from_numpy(rows)
+        cols_t = torch.from_numpy(cols)
+        # nodes at depths <= d: offsets[d][0] is the node count before hop
+        # d's expansion (reference LayerOffset semantics), i.e. depths <= d;
+        # the full sample list covers depths <= layers
+        node_counts = [offsets[l][0] for l in range(len(offsets))] + \
+                      [len(samples)]
+        for i in range(layers):
+            agg = torch.zeros_like(h)
+            agg.index_add_(0, cols_t, h[rows_t])
+            cnt = torch.zeros(h.shape[0], dtype=h.dtype)
+            cnt.index_add_(0, cols_t, torch.ones_like(cols_t, dtype=h.dtype))
+            agg = agg / cnt.clamp(min=1.0).unsqueeze(1)
+            # update nodes at depths <= layers-1-i (deeper slots are never
+            # read again); drop edges whose endpoints fall outside
+            keep = node_counts[layers - 1 - i]
+            h = self_lins[i](h[:keep]) + neigh_lins[i](agg[:keep])
+            emask = (rows_t < keep) & (cols_t < keep)
+            rows_t, cols_t = rows_t[emask], cols_t[emask]
+            if i < layers - 1:
+                h = torch.relu(h)
+                h = torch.nn.functional.dropout(h, dropout, training=training)
+        return h
+
+    def full_forward():
+        a = build_torch_mean_adj(data.edge_index, n)
+        h = x
+        for i in range(layers):
+            agg = torch.sparse.mm(a, h)
+            h = self_lins[i](h) + neigh_lins[i](agg)
+            if i < layers - 1:
+                h = torch.relu(h)
+        return h
+
+    tgt.rng_reseed(seed)
+    rng_np = np.random.default_rng(seed)
+    tr = split["train"]
+    fl = [int(k) for k in fanouts]
+    best_va, best_te = 0.0, 0.0
+    t0 = time.time()
+    for step in range(steps):
+        seeds = rng_np.choice(tr, batch_size, replace=False)
+        samples, rows, cols, _e, offs = tgt.neighbor_sampling_homogenous(
+            col_ptrs, row_indices, seeds, fl,
+            sampler=tgt.UniformEdgeSampler(True))
+        opt.zero_grad()
+        out = tree_forward(np.asarray(samples), np.asarray(rows),
+                           np.asarray(cols), offs, True)
+        loss = torch.nn.functional.cross_entropy(
+            out[:batch_size], y[torch.from_numpy(seeds)])
+        loss.backward()
+        opt.step()
+        if step % eval_every == eval_every - 1 or step == steps - 1:
+            with torch.no_grad():
+                pred = full_forward().argmax(-1)
+                va_acc = (pred[va] == y[va]).float().mean().item()
+                te_acc = (pred[te] == y[te]).float().mean().item()
+            if va_acc > best_va:
+                best_va, best_te = va_acc, te_acc
+            log(f"  torch-sampled step {step:4d} loss {loss.item():.3f} "
+                f"val {va_acc:.3f} test {te_acc:.3f}")
+    log(f"torch-SAGE sampled (reference paradigm): {time.time()-t0:.0f}s, "
+        f"best val {best_va:.3f} -> test {best_te:.3f}")
+    return best_te
+
+
 def train_torch_mlp(data, split, hidden=256, epochs=150, lr=1e-2, seed=0):
     import torch
     import torch.nn as tnn
@@ -155,10 +255,15 @@ def train_ours(data, split, hidden=256, layers=3, fanouts=(15, 10, 5),
     labels = jnp.asarray(y_np)
     c = int(y_np.max()) + 1
 
+    import optax
     model = GraphSAGE(hidden=hidden, out=c, num_layers=layers,
                       dropout=dropout)
-    init_fn, train_step, _ = make_sage_trainer(model, list(fanouts),
-                                               learning_rate=lr)
+    # production recipe: without-replacement sampling (trainer default) +
+    # cosine decay — together worth ~3 points over with-replacement +
+    # constant lr on this task (BASELINE.md accuracy table)
+    init_fn, train_step, _ = make_sage_trainer(
+        model, list(fanouts),
+        learning_rate=optax.cosine_decay_schedule(lr, steps))
     key = jax.random.key(seed)
     seeds0 = jnp.asarray(split["train"][:batch_size].astype(np.int32))
     state = init_fn(key, graph, x, seeds0)
@@ -203,6 +308,9 @@ def main():
     ap.add_argument("--dropout", type=float, default=0.5)
     ap.add_argument("--seeds", type=int, default=1,
                     help="model-init seeds per implementation (mean/std)")
+    ap.add_argument("--sampled-steps", type=int, default=1000,
+                    help="steps for the torch sampled-reference path "
+                         "(0 = skip); it runs one seed only")
     ap.add_argument("--skip-torch", action="store_true")
     args = ap.parse_args()
 
@@ -214,7 +322,7 @@ def main():
         f"C={int(data.y.max())+1} train/val/test="
         f"{len(split['train'])}/{len(split['valid'])}/{len(split['test'])}")
 
-    ours, torchs = [], []
+    ours, torchs, torch_sampled = [], [], []
     for s in range(args.seeds):
         ours.append(train_ours(data, split, hidden=args.hidden,
                                steps=args.steps, dropout=args.dropout,
@@ -223,6 +331,12 @@ def main():
             torchs.append(train_torch_sage(data, split, hidden=args.hidden,
                                            epochs=args.epochs,
                                            dropout=args.dropout, seed=s))
+            if s == 0 and args.sampled_steps > 0:
+                # ~0.4-1 s/step on this host (the reference paradigm's actual
+                # cost); one seed, separately capped
+                torch_sampled.append(train_torch_sampled(
+                    data, split, hidden=args.hidden,
+                    steps=args.sampled_steps, dropout=args.dropout, seed=s))
     acc_mlp = train_torch_mlp(data, split, hidden=args.hidden,
                               epochs=args.epochs)
 
@@ -235,9 +349,12 @@ def main():
                                 if torchs else None),
         "acc_torch_std": (round(float(np.std(torchs)), 4)
                           if torchs else None),
+        "acc_torch_sampled": (round(float(np.mean(torch_sampled)), 4)
+                              if torch_sampled else None),
         "acc_mlp_control": round(acc_mlp, 4),
         "per_seed": {"ours": [round(a, 4) for a in ours],
-                     "torch": [round(a, 4) for a in torchs]},
+                     "torch": [round(a, 4) for a in torchs],
+                     "torch_sampled": [round(a, 4) for a in torch_sampled]},
     }))
 
 

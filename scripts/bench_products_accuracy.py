@@ -52,10 +52,12 @@ def main(scale=1.0, steps=120, m=8, batch=512, hidden=256, dropout=0.2,
     c = int(y_np.max()) + 1
     tr, va, te = split["train"], split["valid"], split["test"]
 
+    import optax
     model = GraphSAGE(hidden=hidden, out=c, num_layers=3, dtype=jnp.bfloat16,
                       dropout=dropout)
     init_fn, train_step = make_multibatch_sage_trainer(
-        model, [15, 10, 5], learning_rate=lr)
+        model, [15, 10, 5],
+        learning_rate=optax.cosine_decay_schedule(lr, steps * m))
     key = jax.random.key(0)
     rng_np = np.random.default_rng(0)
     seeds0 = jnp.asarray(rng_np.choice(tr, (m, batch)).astype(np.int32))

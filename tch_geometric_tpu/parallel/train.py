@@ -35,7 +35,7 @@ def make_gnn_trainer(
     fanouts: Sequence[int],
     *,
     learning_rate: float = 1e-2,
-    with_replacement: bool = True,
+    with_replacement: bool = False,
     window: int = 256,
 ):
     """Build (init_fn, train_step, eval_step) closures for sampled training
@@ -45,6 +45,11 @@ def make_gnn_trainer(
     train_step(state, key, graph, x_table, seeds, labels) -> (state, loss)
     — seeds/labels may be sharded over a mesh 'data' axis; everything inside
     is jit-compiled including the neighbor sampling itself.
+
+    ``with_replacement`` defaults to False (PyG NeighborLoader's default):
+    measured on planted-label tasks it is worth ~2.5 accuracy points over
+    with-replacement at equal fanouts (duplicate draws raise aggregation
+    variance) at identical sampling throughput (lane top-k, BASELINE.md).
     """
     tree_forward = type(model).tree_forward
     fanouts = tuple(int(k) for k in fanouts)
@@ -108,7 +113,7 @@ def make_multibatch_sage_trainer(
     fanouts: Sequence[int],
     *,
     learning_rate: float = 1e-2,
-    with_replacement: bool = True,
+    with_replacement: bool = False,
     window: int = 256,
 ):
     """Sampled-SAGE trainer that fuses M minibatches per jitted step.
