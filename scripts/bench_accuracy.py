@@ -138,6 +138,11 @@ def train_torch_sampled(data, split, hidden=256, layers=3,
         [tnn.Linear(dims[i], dims[i + 1], bias=False) for i in range(layers)])
     params = list(self_lins.parameters()) + list(neigh_lins.parameters())
     opt = torch.optim.Adam(params, lr=lr)
+    # same recipe as ours (recipe parity, not just model parity): cosine lr
+    # decay + without-replacement neighbor sampling
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=steps,
+                                                       eta_min=0.0)
+    a_full = build_torch_mean_adj(data.edge_index, n)
 
     def tree_forward(samples, rows, cols, offsets, training):
         """PyG-NeighborLoader-style: each layer aggregates over all sampled
@@ -168,10 +173,9 @@ def train_torch_sampled(data, split, hidden=256, layers=3,
         return h
 
     def full_forward():
-        a = build_torch_mean_adj(data.edge_index, n)
         h = x
         for i in range(layers):
-            agg = torch.sparse.mm(a, h)
+            agg = torch.sparse.mm(a_full, h)
             h = self_lins[i](h) + neigh_lins[i](agg)
             if i < layers - 1:
                 h = torch.relu(h)
@@ -187,7 +191,7 @@ def train_torch_sampled(data, split, hidden=256, layers=3,
         seeds = rng_np.choice(tr, batch_size, replace=False)
         samples, rows, cols, _e, offs = tgt.neighbor_sampling_homogenous(
             col_ptrs, row_indices, seeds, fl,
-            sampler=tgt.UniformEdgeSampler(True))
+            sampler=tgt.UniformEdgeSampler(False))
         opt.zero_grad()
         out = tree_forward(np.asarray(samples), np.asarray(rows),
                            np.asarray(cols), offs, True)
@@ -195,6 +199,7 @@ def train_torch_sampled(data, split, hidden=256, layers=3,
             out[:batch_size], y[torch.from_numpy(seeds)])
         loss.backward()
         opt.step()
+        sched.step()
         if step % eval_every == eval_every - 1 or step == steps - 1:
             with torch.no_grad():
                 pred = full_forward().argmax(-1)

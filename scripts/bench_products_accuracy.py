@@ -69,7 +69,10 @@ def main(scale=1.0, steps=120, m=8, batch=512, hidden=256, dropout=0.2,
     # the host build is O(E log E) numpy (~10-30 min at 62M edges on this
     # 2-vCPU box), so cache it on disk keyed by the graph config
     t0 = time.time()
-    cache = f"/tmp/seg_blocked_products_{scale}.npz"
+    # key by everything that determines the layout: generator name+seed+scale
+    # and the segment count — a stale cache would silently evaluate over the
+    # wrong adjacency
+    cache = f"/tmp/seg_blocked_planted-products_seed0_{scale}_S32.npz"
     if os.path.exists(cache):
         z = np.load(cache)
         from tch_geometric_tpu.ops.spmm_blocked import SegmentedBlockedCsr

@@ -69,8 +69,11 @@ def timeit(name, fn, state, seeds, labels_mb, iters=3):
 
 # ---- baseline: existing multibatch trainer at M=8 and M=16
 for M in (8, 16):
+    # with_replacement=True to match sample_one below: this micro compares
+    # GATHER strategies, so both arms must use the same sampling kernel
     init_mb, train_mb = make_multibatch_sage_trainer(model, FANOUTS,
-                                                     learning_rate=1e-3)
+                                                     learning_rate=1e-3,
+                                                     with_replacement=True)
     seeds = jnp.asarray(rng_np.integers(0, data.num_nodes, (M, B)).astype(np.int32))
     state = init_mb(key, graph, x, seeds[0])
     fn = lambda st, k, g, xx, s, l: train_mb(st, k, g, xx, s, l)[:2]
@@ -80,7 +83,8 @@ for M in (8, 16):
 # ---- pipelined variant: gather batch i+1 inside update-i's scan step
 M = 8
 seeds = jnp.asarray(rng_np.integers(0, data.num_nodes, (M, B)).astype(np.int32))
-init_mb, _ = make_multibatch_sage_trainer(model, FANOUTS, learning_rate=1e-3)
+init_mb, _ = make_multibatch_sage_trainer(model, FANOUTS, learning_rate=1e-3,
+                                          with_replacement=True)
 state0 = init_mb(key, graph, x, seeds[0])
 
 

@@ -74,7 +74,9 @@ def _mean_in_neighbors(h: np.ndarray, src: np.ndarray, dst: np.ndarray,
         # segment boundaries within this sorted-dst chunk
         row_ids, starts_local = np.unique(d, return_index=True)
         sums[row_ids] += np.add.reduceat(gathered, starts_local, axis=0)
-    return sums / np.maximum(counts, 1)[:, None]
+    # divide in h's dtype: float32/int64 would silently promote the whole
+    # propagation to float64 (2x memory at products scale)
+    return sums / np.maximum(counts, 1)[:, None].astype(h.dtype)
 
 
 def planted_ogbn(name: str, *, seed: int = 0, scale: float = 1.0,

@@ -49,14 +49,23 @@ class GCNConv(nn.Module):
     def __call__(self, x, graph: Optional[SparseGraph] = None, *,
                  add_self_loops: bool = True,
                  sample: Optional[NeighborSample] = None,
-                 keep_depths: Optional[int] = None):
+                 keep_depths: Optional[int] = None,
+                 child_counts: Optional[jax.Array] = None):
         w = nn.Dense(self.features, use_bias=True, dtype=self.dtype,
                      kernel_init=torch_kernel_init,
                      bias_init=torch_bias_init(x.shape[-1]))
         h = w(x)
         if sample is not None:
-            cnt = tree_child_counts(sample)[: h.shape[0]]
-            inv_sqrt = jax.lax.rsqrt((cnt + 1).astype(h.dtype))
+            # child_counts: pass tree_child_counts(sample) in from the
+            # caller when applying several layers — it only depends on the
+            # sample, not the layer
+            cnt = (child_counts if child_counts is not None
+                   else tree_child_counts(sample))[: h.shape[0]]
+            if add_self_loops:
+                norm_cnt = cnt + 1
+            else:
+                norm_cnt = jnp.maximum(cnt, 1)
+            inv_sqrt = jax.lax.rsqrt(norm_cnt.astype(h.dtype))
             hn = h * inv_sqrt[:, None]
             outs = []
             for d in range(keep_depths):
@@ -68,7 +77,9 @@ class GCNConv(nn.Module):
                 outs.append((child * cm.astype(h.dtype)).sum(axis=1))
             n_keep = sample.node_base[keep_depths]
             agg = jnp.concatenate(outs, axis=0) * inv_sqrt[:n_keep, None]
-            return agg + h[:n_keep] * (inv_sqrt[:n_keep] ** 2)[:, None]
+            if add_self_loops:
+                agg = agg + h[:n_keep] * (inv_sqrt[:n_keep] ** 2)[:, None]
+            return agg
         deg = graph.degree(jnp.arange(graph.num_ptr_nodes))
         if add_self_loops:
             norm_deg = deg + 1
@@ -190,9 +201,11 @@ class GCN(nn.Module):
         """Sampled-tree forward (see GraphSAGE.tree_forward): returns
         seed-node logits (num_seeds, out)."""
         assert sample.num_hops >= self.num_layers
+        counts = tree_child_counts(sample)
         h = x
         for j, conv in enumerate(self.convs):
-            h = conv(h, sample=sample, keep_depths=sample.num_hops - j)
+            h = conv(h, sample=sample, keep_depths=sample.num_hops - j,
+                     child_counts=counts)
             h = self._act(h, j, deterministic)
         return h[: sample.node_base[1]]
 
