@@ -50,19 +50,25 @@ model = GraphSAGE(hidden=256, out=47, num_layers=3, dtype=jnp.bfloat16)
 tx = optax.adam(1e-3)
 
 
-def timeit(name, fn, state, seeds, labels_mb, iters=3):
+def timeit(name, fn, state, seeds, labels_mb, iters=3, chain=4):
+    # NOTE: block_until_ready on a remote (axon tunnel) buffer does not
+    # guarantee execution completed — a host SCALAR fetch is the only true
+    # barrier (see bench.py).  Chain a few steps state->state per timing to
+    # amortize the fetch.
+    def run_chain(st):
+        for _ in range(chain):
+            st, losses = fn(st, key, graph, x, seeds, labels_mb)
+        return st, float(losses.sum())
     t0 = time.time()
-    st, losses = fn(state, key, graph, x, seeds, labels_mb)
-    jax.block_until_ready(losses)
-    log(f"{name}: compile {time.time()-t0:.0f}s")
+    run_chain(state)
+    log(f"{name}: compile+first {time.time()-t0:.0f}s")
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        st, losses = fn(state, key, graph, x, seeds, labels_mb)
-        jax.block_until_ready(losses)
+        run_chain(state)
         ts.append(time.perf_counter() - t0)
     M = seeds.shape[0]
-    dt = float(np.median(ts)) / M
+    dt = float(np.median(ts)) / M / chain
     log(f"{name}: {dt*1e3:.2f} ms/minibatch")
     return dt
 

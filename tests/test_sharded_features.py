@@ -1,0 +1,100 @@
+"""Sharded-feature-table training (parallel/sharded_features.py).
+
+The Ulysses-shaped halo exchange: features interleave-sharded over the
+8-device virtual mesh, per-device sampling, two-all_to_all row fetch,
+psum'd gradients.  SURVEY §2.5's distributed build requirement.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tch_geometric_tpu.data import csc_graph_from_coo
+from tch_geometric_tpu.data.io import load_karate_graph
+from tch_geometric_tpu.models import GraphSAGE
+from tch_geometric_tpu.parallel.sharded_features import (
+    build_interleaved_features, halo_gather, make_sharded_feature_trainer)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()[:8]
+    return Mesh(np.array(devs), ("data",))
+
+
+def test_interleaved_layout():
+    x = np.arange(10 * 2, dtype=np.float32).reshape(10, 2)
+    xi = build_interleaved_features(x, 4)
+    npp = 3  # ceil(10/4)
+    assert xi.shape == (12, 2)
+    for node in range(10):
+        owner, local = node % 4, node // 4
+        np.testing.assert_array_equal(xi[owner * npp + local], x[node])
+
+
+@pytest.mark.parametrize("capacity_factor", [2.0, 1.2])
+def test_halo_gather_matches_direct(mesh, capacity_factor):
+    Pn = 8
+    rng = np.random.default_rng(0)
+    n, f, L = 101, 16, 64
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    xi = build_interleaved_features(x, Pn)
+    ids = rng.integers(0, n, size=(Pn, L)).astype(np.int32)
+    capacity = int(np.ceil(capacity_factor * L / Pn))
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(P("data"), P("data")),
+                       out_specs=(P("data"), P("data")))
+    def run(x_shard, ids_local):
+        rows, overflow = halo_gather(x_shard, ids_local[0], axis="data",
+                                     num_parts=Pn, capacity=capacity)
+        return rows[None], overflow[None]
+
+    rows, overflow = run(jnp.asarray(xi), jnp.asarray(ids))
+    rows = np.asarray(rows)
+    total_missing = 0
+    for d in range(Pn):
+        expect = x[ids[d]]
+        got = rows[d]
+        # rows are either exact or zero (capacity overflow)
+        zero = np.all(got == 0, axis=1)
+        np.testing.assert_allclose(got[~zero], expect[~zero], rtol=1e-6)
+        total_missing += zero.sum()
+    assert int(np.asarray(overflow).sum()) >= total_missing - (x == 0).all()
+    if capacity_factor >= 2.0:
+        assert total_missing == 0 and int(np.asarray(overflow).sum()) == 0
+
+
+def test_sharded_trainer_karate(mesh):
+    x_np, y, edge_index = load_karate_graph()
+    g = csc_graph_from_coo(edge_index, 34)
+    Pn = 8
+    xi = jnp.asarray(build_interleaved_features(np.asarray(x_np), Pn))
+    labels = jnp.asarray(y)
+    model = GraphSAGE(hidden=32, out=int(y.max()) + 1, num_layers=2)
+    # karate is tiny and hub-heavy: a single hub node fills a visible
+    # fraction of the tree, so give capacity headroom (production-size trees
+    # concentrate per-owner counts tightly around L/P; 1.3 suffices there)
+    init_fn, train_step, eval_step = make_sharded_feature_trainer(
+        model, [4, 3], mesh, learning_rate=1e-2, capacity_factor=6.0)
+
+    with mesh:
+        data_sh = NamedSharding(mesh, P("data"))
+        xi = jax.device_put(xi, data_sh)
+        seeds = jax.device_put(jnp.arange(32, dtype=jnp.int32), data_sh)
+        lab = jax.device_put(labels[:32], data_sh)
+        key = jax.random.key(0)
+        state = init_fn(key, g, xi, seeds)
+        for _ in range(60):
+            state, loss, acc, overflow = train_step(state, key, g, xi,
+                                                    seeds, lab)
+        assert int(overflow) == 0
+        loss, acc = eval_step(state, key, g, xi, seeds, lab)
+        assert float(acc) >= 0.85, (float(loss), float(acc))
+
+        # params identical across devices (replicated out-spec is real)
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(leaf))
