@@ -70,6 +70,48 @@ def bench_mesh(n_dev):
     return dt, edges / dt
 
 
+def bench_sharded_train(n_dev):
+    """Weak-scaling of the sharded-feature-table sampled TRAIN step
+    (parallel/sharded_features.py): per-device seed batch held constant."""
+    from tch_geometric_tpu.data import csc_graph_from_coo
+    from tch_geometric_tpu.models import GraphSAGE
+    from tch_geometric_tpu.parallel.sharded_features import (
+        build_interleaved_features, make_sharded_feature_trainer)
+
+    rng = np.random.default_rng(0)
+    num_nodes = NODES_PER_DEV * n_dev
+    edge_index = make_graph(num_nodes, rng)
+    graph = csc_graph_from_coo(edge_index, num_nodes)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    x = rng.normal(size=(num_nodes, F)).astype(np.float32)
+    xi = build_interleaved_features(x, n_dev)
+    labels = rng.integers(0, 8, num_nodes)
+
+    model = GraphSAGE(hidden=64, out=8, num_layers=2)
+    init_fn, train_step, _ = make_sharded_feature_trainer(
+        model, [10, 5], mesh, learning_rate=1e-2)
+    with mesh:
+        sh = NamedSharding(mesh, P("data"))
+        xi_d = jax.device_put(jnp.asarray(xi), sh)
+        B = 64 * n_dev                      # constant per-device batch
+        seeds = jax.device_put(
+            jnp.asarray(rng.integers(0, num_nodes, B).astype(np.int32)), sh)
+        lab = jax.device_put(jnp.asarray(labels)[seeds], sh)
+        key = jax.random.key(0)
+        state = init_fn(key, graph, xi_d, seeds)
+        state, loss, _a, _o = train_step(state, key, graph, xi_d, seeds, lab)
+        jax.block_until_ready(loss)
+        times = []
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            state, loss, _a, _o = train_step(state, key, graph, xi_d,
+                                             seeds, lab)
+            jax.block_until_ready(loss)
+            times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    return dt, B / dt
+
+
 def main():
     n_max = len(jax.devices())
     results = {}
@@ -84,6 +126,19 @@ def main():
         eff = base / dt
         results[n] = (dt, eps, eff)
         print(f"P={n}: {dt*1e3:8.2f} ms/iter  {eps/1e6:8.1f} Medges/s  "
+              f"weak-scaling eff {eff*100:5.1f}%")
+
+    print("sharded-feature sampled train step (constant per-device batch):")
+    base = None
+    for n in [1, 2, 4, 8]:
+        if n > n_max:
+            break
+        dt, sps = bench_sharded_train(n)
+        if base is None:
+            base = dt
+        eff = base / dt
+        results[("train", n)] = (dt, sps, eff)
+        print(f"P={n}: {dt*1e3:8.2f} ms/step  {sps:8.0f} seeds/s  "
               f"weak-scaling eff {eff*100:5.1f}%")
     return results
 

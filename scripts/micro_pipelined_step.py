@@ -94,9 +94,12 @@ init_mb, _ = make_multibatch_sage_trainer(model, FANOUTS, learning_rate=1e-3,
 state0 = init_mb(key, graph, x, seeds[0])
 
 
-def sample_one(k, s):
+def sample_one(k, g, s):
+    # g must be a traced ARGUMENT: closing over the concrete module-level
+    # graph embeds ~GBs of constants in the HLO and the axon remote-compile
+    # service rejects the request with HTTP 413
     z = jnp.zeros(s.shape, jnp.int32)
-    return _sample_neighbors_impl(k, graph, s.astype(jnp.int32), z, None,
+    return _sample_neighbors_impl(k, g, s.astype(jnp.int32), z, None,
                                   None, FANOUTS, True, None, WINDOW)
 
 
@@ -104,7 +107,7 @@ def sample_one(k, s):
 def train_pipelined(state, key, graph, x_table, seeds, labels_mb):
     M = seeds.shape[0]
     keys = jax.vmap(lambda i: rng.fold(key, state.step + i))(jnp.arange(M))
-    sample = jax.vmap(sample_one)(keys, seeds)          # sampling upfront
+    sample = jax.vmap(sample_one, in_axes=(0, None, 0))(keys, graph, seeds)
     gathers = sample.nodes                              # (M, n_total)
 
     def gather(i):
