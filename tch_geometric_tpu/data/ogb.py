@@ -79,6 +79,67 @@ def _mean_in_neighbors(h: np.ndarray, src: np.ndarray, dst: np.ndarray,
     return sums / np.maximum(counts, 1)[:, None].astype(h.dtype)
 
 
+def planted_hetero(*, num_types: int = 3, num_rels: int = 6,
+                   nodes_per_type: int = 20_000, edges_per_rel: int = 120_000,
+                   feat_dim: int = 64, num_classes: int = 16, seed: int = 0,
+                   teacher_hops: int = 2, noise: float = 1.0,
+                   split=(0.6, 0.2, 0.2)):
+    """Heterogeneous planted-teacher dataset (typed analogue of
+    :func:`planted_ogbn`).
+
+    Node types ``v0..v{T-1}`` with Gaussian features; relations ``r0..r{R-1}``
+    wire type ``i % T`` -> ``(i + 1 + i // T) % T`` (a mix including
+    self-type edges, mirroring the reference's FakeHeteroDataset fixture
+    scheme, /root/reference/src/data/io.rs:21-65).  The teacher propagates
+    class scores through each relation with a DISTINCT random class-mixing
+    matrix, so the label signal on the seed type ``v0`` is typed: a model
+    that collapses relation types mixes incompatible transforms and loses
+    accuracy (measured in scripts/bench_hetero_accuracy.py).
+
+    Returns ``(xs, edge_index, y, split_dict)``: per-type features, per-
+    relation ``(src_type, rel, dst_type) -> (2, E)`` COO, labels on v0, and
+    train/valid/test indices into v0.
+    """
+    rng = np.random.default_rng(seed)
+    T, R, n = num_types, num_rels, nodes_per_type
+    types = [f"v{i}" for i in range(T)]
+    xs = {t: rng.normal(size=(n, feat_dim)).astype(np.float32)
+          for t in types}
+    edge_index = {}
+    for i in range(R):
+        s, d = i % T, (i + 1 + i // T) % T
+        src = rng.integers(0, n, edges_per_rel)
+        dst = rng.integers(0, n, edges_per_rel)
+        edge_index[(f"v{s}", f"r{i}", f"v{d}")] = \
+            np.stack([src, dst]).astype(np.int64)
+
+    c = num_classes
+    w = {t: (rng.normal(size=(feat_dim, c)) / np.sqrt(feat_dim))
+         .astype(np.float32) for t in types}
+    mix = {r: (rng.normal(size=(c, c)) / np.sqrt(c)).astype(np.float32)
+           for r in edge_index}
+    h = {t: xs[t] @ w[t] for t in types}
+    for _ in range(teacher_hops):
+        agg = {t: np.zeros_like(h[t]) for t in types}
+        cnt = {t: 0 for t in types}
+        for (s, _r, d), ei in edge_index.items():
+            agg[d] += _mean_in_neighbors(h[s], ei[0], ei[1], n) \
+                @ mix[(s, _r, d)]
+            cnt[d] += 1
+        h = {t: 0.5 * h[t] + 0.5 * agg[t] / max(cnt[t], 1) for t in types}
+
+    hv = h["v0"] / max(h["v0"].std(), 1e-6)
+    logits = hv * 3.0 + noise * rng.normal(size=hv.shape).astype(np.float32)
+    y = logits.argmax(axis=1).astype(np.int64)
+
+    perm = rng.permutation(n)
+    n_tr, n_va = int(split[0] * n), int(split[1] * n)
+    split_dict = {"train": np.sort(perm[:n_tr]),
+                  "valid": np.sort(perm[n_tr:n_tr + n_va]),
+                  "test": np.sort(perm[n_tr + n_va:])}
+    return xs, edge_index, y, split_dict
+
+
 def planted_ogbn(name: str, *, seed: int = 0, scale: float = 1.0,
                  teacher_hops: int = 2, noise: float = 1.0,
                  split=(0.6, 0.2, 0.2)):
