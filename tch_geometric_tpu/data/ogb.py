@@ -83,6 +83,7 @@ def planted_hetero(*, num_types: int = 3, num_rels: int = 6,
                    nodes_per_type: int = 20_000, edges_per_rel: int = 120_000,
                    feat_dim: int = 64, num_classes: int = 16, seed: int = 0,
                    teacher_hops: int = 2, noise: float = 1.0,
+                   anti_paired: bool = False,
                    split=(0.6, 0.2, 0.2)):
     """Heterogeneous planted-teacher dataset (typed analogue of
     :func:`planted_ogbn`).
@@ -105,19 +106,33 @@ def planted_hetero(*, num_types: int = 3, num_rels: int = 6,
     types = [f"v{i}" for i in range(T)]
     xs = {t: rng.normal(size=(n, feat_dim)).astype(np.float32)
           for t in types}
-    edge_index = {}
+    c = num_classes
+    edge_index, mix = {}, {}
     for i in range(R):
-        s, d = i % T, (i + 1 + i // T) % T
+        if anti_paired:
+            # relations 2j and 2j+1 share (src, dst) but mix with OPPOSITE
+            # sign: untyped (relation-blind) aggregation cancels the label
+            # signal in expectation, typed models recover it — the clean
+            # demonstration of what relation typing buys
+            pair, sign = i // 2, (1.0 if i % 2 == 0 else -1.0)
+            s, d = pair % T, (pair + 1) % T
+        else:
+            s, d = i % T, (i + 1 + i // T) % T
+        key = (f"v{s}", f"r{i}", f"v{d}")
         src = rng.integers(0, n, edges_per_rel)
         dst = rng.integers(0, n, edges_per_rel)
-        edge_index[(f"v{s}", f"r{i}", f"v{d}")] = \
-            np.stack([src, dst]).astype(np.int64)
+        edge_index[key] = np.stack([src, dst]).astype(np.int64)
+        if anti_paired:
+            if i % 2 == 0:
+                base = (rng.normal(size=(c, c)) / np.sqrt(c)).astype(
+                    np.float32)
+            mix[key] = sign * base
+        else:
+            mix[key] = (rng.normal(size=(c, c)) / np.sqrt(c)).astype(
+                np.float32)
 
-    c = num_classes
     w = {t: (rng.normal(size=(feat_dim, c)) / np.sqrt(feat_dim))
          .astype(np.float32) for t in types}
-    mix = {r: (rng.normal(size=(c, c)) / np.sqrt(c)).astype(np.float32)
-           for r in edge_index}
     h = {t: xs[t] @ w[t] for t in types}
     for _ in range(teacher_hops):
         agg = {t: np.zeros_like(h[t]) for t in types}
