@@ -114,13 +114,6 @@ def make_sharded_feature_trainer(
     tx = optax.adam(learning_rate)
     num_parts = int(mesh.shape[axis])
 
-    def _tree_len(num_seeds_local: int) -> int:
-        total, layer = num_seeds_local, num_seeds_local
-        for k in fanouts:
-            layer *= k
-            total += layer
-        return total
-
     def _sample_and_gather(key, graph, x_shard, seeds_local):
         zeros = jnp.zeros((seeds_local.shape[0],), jnp.int32)
         sample = _sample_neighbors_impl(
