@@ -101,6 +101,10 @@ def planted_hetero(*, num_types: int = 3, num_rels: int = 6,
     relation ``(src_type, rel, dst_type) -> (2, E)`` COO, labels on v0, and
     train/valid/test indices into v0.
     """
+    if anti_paired and num_rels % 2:
+        raise ValueError("anti_paired needs an even num_rels: every +mix "
+                         "relation must have its -mix partner or untyped "
+                         "aggregation no longer cancels the signal")
     rng = np.random.default_rng(seed)
     T, R, n = num_types, num_rels, nodes_per_type
     types = [f"v{i}" for i in range(T)]

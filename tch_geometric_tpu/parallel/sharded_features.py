@@ -51,27 +51,37 @@ def build_interleaved_features(x: np.ndarray, num_parts: int) -> np.ndarray:
 
 
 def halo_gather(x_shard: jax.Array, ids: jax.Array, *, axis: str,
-                num_parts: int, capacity: int):
+                num_parts: int, capacity: int, valid=None):
     """Fetch rows of the interleaved-sharded table (INSIDE shard_map).
 
-    x_shard: (Np, F) this device's shard; ids: (L,) global node ids.
-    Returns ((L, F) rows, overflow_count) — rows are zero where the
-    per-owner capacity overflowed.
+    x_shard: (Np, F) this device's shard; ids: (L,) global node ids;
+    ``valid``: optional (L,) bool — invalid slots never consume per-owner
+    request capacity (they get zero rows) and are excluded from the
+    overflow count, so the diagnostic reports only REAL feature loss.
+    Returns ((L, F) rows, overflow_count).
     """
     L = ids.shape[0]
     owner = (ids % num_parts).astype(jnp.int32)
     local = (ids // num_parts).astype(jnp.int32)
-
-    order = jnp.argsort(owner, stable=True)
+    if valid is None:
+        valid = jnp.ones((L,), bool)
+    # sort invalid slots past every valid one so they take the top ranks,
+    # which are dropped first and never evict a valid request
+    sort_key = owner + jnp.where(valid, 0, num_parts)
+    order = jnp.argsort(sort_key, stable=True)
     sorted_owner = owner[order]
     sorted_local = local[order]
-    cnt = jnp.bincount(owner, length=num_parts)
+    cnt = jnp.bincount(jnp.where(valid, owner, num_parts),
+                       length=num_parts + 1)[:num_parts]
     start = jnp.concatenate([jnp.zeros((1,), cnt.dtype),
                              jnp.cumsum(cnt)[:-1]])
     pos = jnp.arange(L, dtype=jnp.int32)
-    rank_sorted = pos - start[sorted_owner].astype(jnp.int32)
-    # out-of-capacity writes get an out-of-bounds column -> mode='drop'
-    col = jnp.where(rank_sorted < capacity, rank_sorted, capacity)
+    rank_sorted = pos - start[jnp.clip(sorted_owner, 0, num_parts - 1)] \
+        .astype(jnp.int32)
+    # out-of-capacity (or invalid) writes get an out-of-bounds column
+    # -> mode='drop'
+    ok_sorted = (rank_sorted < capacity) & valid[order]
+    col = jnp.where(ok_sorted, rank_sorted, capacity)
     req = jnp.zeros((num_parts, capacity), jnp.int32)
     req = req.at[sorted_owner, col].set(sorted_local, mode="drop")
 
@@ -82,10 +92,10 @@ def halo_gather(x_shard: jax.Array, ids: jax.Array, *, axis: str,
 
     inv = jnp.zeros((L,), jnp.int32).at[order].set(pos)   # slot -> sorted pos
     rank_all = inv - start[owner].astype(jnp.int32)
-    ok = rank_all < capacity
+    ok = (rank_all < capacity) & valid
     out = back[owner, jnp.where(ok, rank_all, 0)]
     out = jnp.where(ok[:, None], out, 0)
-    return out, (~ok).sum()
+    return out, (~ok & valid).sum()
 
 
 def make_sharded_feature_trainer(
@@ -120,16 +130,14 @@ def make_sharded_feature_trainer(
             key, graph, seeds_local.astype(jnp.int32), zeros, None, None,
             fanouts, with_replacement, None, window)
         n_rows = x_shard.shape[0] * num_parts
-        # invalid slots must NOT all clip to node 0: that floods owner 0's
-        # request capacity (id % P ownership).  Spread them round-robin —
-        # their rows are never read through a valid tree path.
-        spread = jnp.arange(sample.nodes.shape[0], dtype=jnp.int32) % n_rows
-        ids = jnp.where(sample.node_valid,
-                        jnp.clip(sample.nodes, 0, n_rows - 1), spread)
+        ids = jnp.clip(sample.nodes, 0, n_rows - 1)
         capacity = int(np.ceil(capacity_factor * ids.shape[0] / num_parts))
         capacity = min(capacity, ids.shape[0])
+        # invalid padding slots don't consume request capacity and get zero
+        # rows (never read through a valid tree path)
         x, overflow = halo_gather(x_shard, ids, axis=axis,
-                                  num_parts=num_parts, capacity=capacity)
+                                  num_parts=num_parts, capacity=capacity,
+                                  valid=sample.node_valid)
         return sample, x, overflow
 
     def _loss(params, key, graph, x_shard, seeds_local, labels_local,

@@ -182,9 +182,8 @@ def test_planted_hetero_typed_signal():
 
     acc_raw = probe_acc(xs["v0"])
     acc_untyped = probe_acc(untyped)
-    # typed propagation with the same per-relation structure the teacher
-    # uses (fresh random mixes, so this probes structure, not the secret)
-    rng = np.random.default_rng(7)
+    # typed probe: per-relation neighbor means kept as SEPARATE feature
+    # blocks (the probe's lstsq learns its own per-relation weights)
     parts = [xs["v0"]]
     for (s, _r, d), ei in sorted(edge_index.items()):
         if d == "v0":

@@ -59,13 +59,14 @@ def test_halo_gather_matches_direct(mesh, capacity_factor):
     for d in range(Pn):
         expect = x[ids[d]]
         got = rows[d]
-        # rows are either exact or zero (capacity overflow)
+        # rows are either exact or zero (capacity overflow); the fixture's
+        # gaussian features have no true all-zero rows, so zero == dropped
         zero = np.all(got == 0, axis=1)
         np.testing.assert_allclose(got[~zero], expect[~zero], rtol=1e-6)
         total_missing += zero.sum()
-    assert int(np.asarray(overflow).sum()) >= total_missing - (x == 0).all()
+    assert int(np.asarray(overflow).sum()) == total_missing
     if capacity_factor >= 2.0:
-        assert total_missing == 0 and int(np.asarray(overflow).sum()) == 0
+        assert total_missing == 0
 
 
 def test_sharded_trainer_karate(mesh):
@@ -97,4 +98,8 @@ def test_sharded_trainer_karate(mesh):
 
         # params identical across devices (replicated out-spec is real)
         leaf = jax.tree_util.tree_leaves(state.params)[0]
-        np.testing.assert_allclose(np.asarray(leaf), np.asarray(leaf))
+        shards = leaf.addressable_shards
+        assert len(shards) == 8
+        for s in shards[1:]:
+            np.testing.assert_array_equal(np.asarray(s.data),
+                                          np.asarray(shards[0].data))
