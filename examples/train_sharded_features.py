@@ -1,0 +1,67 @@
+"""Distributed sampled training with the feature table sharded across the
+mesh (parallel/sharded_features.py) — the production multi-chip setup when
+node features exceed one chip's HBM.
+
+Runs on a virtual 8-device CPU mesh out of the box:
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORM_NAME=cpu \
+        python examples/train_sharded_features.py
+On a real TPU slice the same code shards over the physical chips.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+if jax.device_count() < 2:  # fall back to the virtual mesh
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tch_geometric_tpu.data import Data, csc_graph_from_coo
+from tch_geometric_tpu.models import GraphSAGE
+from tch_geometric_tpu.parallel import (build_interleaved_features,
+                                        make_sharded_feature_trainer)
+
+FIX = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
+data = Data.from_npz(os.path.join(FIX, "fakedataset.npz"))
+graph = data.csc()
+labels = jnp.asarray(data.y)
+
+n_dev = jax.device_count()
+mesh = Mesh(np.array(jax.devices()), ("data",))
+xi = build_interleaved_features(np.asarray(data.x), n_dev)
+
+model = GraphSAGE(hidden=64, out=int(data.y.max()) + 1, num_layers=2)
+init_fn, train_step, eval_step = make_sharded_feature_trainer(
+    model, [10, 5], mesh, learning_rate=3e-3, capacity_factor=2.0)
+
+with mesh:
+    sh = NamedSharding(mesh, P("data"))
+    xi_d = jax.device_put(jnp.asarray(xi), sh)
+    B = 16 * n_dev
+    rng = np.random.default_rng(0)
+    key = jax.random.key(0)
+    seeds0 = jax.device_put(jnp.arange(B, dtype=jnp.int32), sh)
+    state = init_fn(key, graph, xi_d, seeds0)
+    for step in range(40):
+        seeds_np = rng.choice(data.num_nodes, B, replace=False)
+        seeds = jax.device_put(jnp.asarray(seeds_np.astype(np.int32)), sh)
+        lab = jax.device_put(labels[jnp.asarray(seeds_np)], sh)
+        state, loss, acc, overflow = train_step(state, key, graph, xi_d,
+                                                seeds, lab)
+        if step % 10 == 9:
+            print(f"step {step}: loss {float(loss):.3f} acc {float(acc):.2f}"
+                  f" halo-overflow {int(overflow)}", flush=True)
+    loss, acc = eval_step(state, key, graph, xi_d, seeds0, labels[:B])
+    print(f"eval: loss {float(loss):.3f} acc {float(acc):.2f} "
+          f"({n_dev} devices, features sharded {xi.shape} -> "
+          f"{xi.shape[0] // n_dev} rows/device)")
