@@ -100,10 +100,31 @@ def main(scale=1.0, steps=120, m=8, batch=512, hidden=256, dropout=0.2,
                  blocks_per_segment=seg.blocks_per_segment)
         log(f"segmented blocked build {time.time()-t0:.0f}s (cached)")
 
+    # Per-layer jitted programs instead of one fused 3-layer scan-of-segments
+    # program: the axon remote-compile service reproducibly drops the
+    # connection ("Broken pipe") on the fused program at full products scale,
+    # and smaller programs compile reliably + cache independently.
+    from tch_geometric_tpu.ops.spmm_pallas import spmm_blocked_segmented
+
     @jax.jit
+    def infer_layer(kern_self, bias_self, kern_neigh, seg, h, relu):
+        agg = spmm_blocked_segmented(seg, h, agg="mean",
+                                     compute_dtype=jnp.bfloat16,
+                                     out_dtype=jnp.bfloat16)
+        out = (h @ kern_self.astype(jnp.bfloat16) + bias_self
+               + agg @ kern_neigh.astype(jnp.bfloat16))
+        return jnp.where(relu, jax.nn.relu(out), out)
+
     def infer(params):
-        return model.apply(params, x, seg, method=GraphSAGE.blocked_forward
-                           ).argmax(-1)
+        p = params["params"]
+        h = x.astype(jnp.bfloat16)
+        for i in range(3):
+            conv = p[f"conv{i}"]
+            h = infer_layer(conv["lin_self"]["kernel"],
+                            conv["lin_self"]["bias"].astype(jnp.bfloat16),
+                            conv["lin_neigh"]["kernel"], seg, h,
+                            jnp.asarray(i < 2))
+        return jnp.argmax(h, axis=-1)
 
     best_va, best_te, t_train, mb_timed = 0.0, 0.0, 0.0, 0
     eval_every = max(20, steps // 10)
