@@ -112,6 +112,54 @@ def bench_sharded_train(n_dev):
     return dt, B / dt
 
 
+def bench_partitioned_train(n_dev):
+    """Weak-scaling of the FULLY partitioned train step (topology AND
+    features sharded; parallel/dist_sampling.py): per-device seeds constant;
+    per hop two all_to_alls route frontier requests to adjacency owners."""
+    from tch_geometric_tpu.data.storage import to_csc
+    from tch_geometric_tpu.models import GraphSAGE
+    from tch_geometric_tpu.parallel.dist_sampling import (
+        build_partitioned_graph, make_partitioned_trainer)
+    from tch_geometric_tpu.parallel.sharded_features import (
+        build_interleaved_features)
+
+    rng = np.random.default_rng(0)
+    num_nodes = NODES_PER_DEV * n_dev
+    edge_index = make_graph(num_nodes, rng)
+    col_ptrs, row_indices, _perm = to_csc(edge_index, num_nodes)
+    g = build_partitioned_graph(np.asarray(col_ptrs),
+                                np.asarray(row_indices), n_dev)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    x = rng.normal(size=(num_nodes, F)).astype(np.float32)
+    xi = build_interleaved_features(x, n_dev)
+    labels = rng.integers(0, 8, num_nodes)
+
+    model = GraphSAGE(hidden=64, out=8, num_layers=2)
+    init_fn, train_step, _ = make_partitioned_trainer(
+        model, [10, 5], mesh, learning_rate=1e-2)
+    with mesh:
+        sh = NamedSharding(mesh, P("data"))
+        g_d = jax.device_put(g, sh)
+        xi_d = jax.device_put(jnp.asarray(xi), sh)
+        B = 64 * n_dev                      # constant per-device batch
+        seeds = jax.device_put(
+            jnp.asarray(rng.integers(0, num_nodes, B).astype(np.int32)), sh)
+        lab = jax.device_put(jnp.asarray(labels)[seeds], sh)
+        key = jax.random.key(0)
+        state = init_fn(key, g_d, xi_d, seeds)
+        state, loss, _a, _o = train_step(state, key, g_d, xi_d, seeds, lab)
+        jax.block_until_ready(loss)
+        times = []
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            state, loss, _a, _o = train_step(state, key, g_d, xi_d,
+                                             seeds, lab)
+            jax.block_until_ready(loss)
+            times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    return dt, B / dt
+
+
 def main():
     n_max = len(jax.devices())
     results = {}
@@ -138,6 +186,19 @@ def main():
             base = dt
         eff = base / dt
         results[("train", n)] = (dt, sps, eff)
+        print(f"P={n}: {dt*1e3:8.2f} ms/step  {sps:8.0f} seeds/s  "
+              f"weak-scaling eff {eff*100:5.1f}%")
+
+    print("fully partitioned train step (topology + features sharded):")
+    base = None
+    for n in [1, 2, 4, 8]:
+        if n > n_max:
+            break
+        dt, sps = bench_partitioned_train(n)
+        if base is None:
+            base = dt
+        eff = base / dt
+        results[("dist", n)] = (dt, sps, eff)
         print(f"P={n}: {dt*1e3:8.2f} ms/step  {sps:8.0f} seeds/s  "
               f"weak-scaling eff {eff*100:5.1f}%")
     return results

@@ -5,3 +5,5 @@ from .hgt_train import HGTTrainState, make_hgt_trainer
 from .resilience import barrier, inject_shard_fault, shard_checksums
 from .sharded_features import (build_interleaved_features, halo_gather,
                                make_sharded_feature_trainer)
+from .dist_sampling import (PartitionedGraph, build_partitioned_graph,
+                            dist_sample_neighbors, make_partitioned_trainer)

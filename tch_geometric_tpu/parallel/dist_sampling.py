@@ -1,0 +1,490 @@
+"""Distributed neighbor sampling over a PARTITIONED graph topology.
+
+The last distributed piece of SURVEY §7.3 ("Multi-host frontier ownership"):
+``parallel/sharded_features.py`` shards the feature table but replicates the
+adjacency on every device.  Here the TOPOLOGY itself is partitioned — each
+device owns only the adjacency rows of nodes ``v % P == dev`` (the same
+interleaved owner rule as the feature table, so one ownership function
+serves both) — and every sampling hop becomes the two-exchange protocol the
+survey prescribes: an ``all_to_all`` routes frontier requests to the owners
+of the frontier nodes, each owner samples its local rows, and a second
+``all_to_all`` routes the sampled (neighbor, edge-ptr, valid) triples back.
+This is what makes billion-edge graphs (ogbn-papers100M-class: topology
+alone is tens of GB) trainable: no device ever materialises more than
+``E / P`` edges or ``N / P`` feature rows.
+
+Reproducibility is stronger than the reference's (whose global mutex'd
+SmallRng makes draws depend on call order, /root/reference/src/utils/
+random.rs:8-23): every draw is keyed by ``fold_in(key, hop, slot_uid)``
+where ``slot_uid`` is the node's slot in the *global* sample tree over the
+whole (device-count-independent) seed batch.  Requesters ship the uid with
+the request, owners fold it — so the sampled trees are **bit-identical for
+any number of devices** (tests/test_dist_sampling.py pins P=1 == P=2 == P=4).
+
+Static shapes: per-owner request capacity per hop is
+``capacity_factor * ceil(L_hop / P)`` (interleaved ownership concentrates
+per-owner counts tightly around ``L/P``); overflowing requests produce
+invalid subtrees and are counted in the returned diagnostics, mirroring
+``sharded_features.halo_gather``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data.graph import ell_width_for
+from ..sampling import rng
+from ..sampling.neighbor import NeighborSample, _layer_layout, _select_lanes
+from .sharded_features import halo_gather
+from .train import TrainState
+
+
+@struct.dataclass
+class PartitionedGraph:
+    """Interleave-partitioned CSC adjacency (device pytree).
+
+    Owner of global node ``v`` is ``v % num_parts``; its local row is
+    ``v // num_parts``.  Every array has leading length ``P * rows_per_part``
+    (or ``P * local_edge_cap``) so a ``PartitionSpec(axis)`` prefix shards it
+    one owner block per device inside ``shard_map``.
+
+    ``lindices`` holds neighbor GLOBAL ids (the sampled frontier must be
+    re-routable next hop); ``gstart`` keeps the row's *global* CSC edge ptr
+    so emitted edge ptrs stay in the reference's global edge space
+    (graph.rs:123-146 COO builder semantics).
+    """
+
+    ldeg: jax.Array       # (P*Np,) int32 row degree
+    lstart: jax.Array     # (P*Np,) int32 row start within the owner's shard
+    gstart: jax.Array     # (P*Np,) int32 global CSC edge ptr of the row
+    lindices: jax.Array   # (P*Emax,) int32 neighbor global ids
+    # Optional ELL fast path: one row fetch per request (lanes [0, W-2) are
+    # neighbor ids, W-2 degree, W-1 global start) — data/graph.py layout.
+    ell: Optional[jax.Array] = None   # (P*Np, W) int32
+    num_nodes: int = struct.field(pytree_node=False, default=0)
+    num_parts: int = struct.field(pytree_node=False, default=1)
+    rows_per_part: int = struct.field(pytree_node=False, default=0)
+    local_edge_cap: int = struct.field(pytree_node=False, default=0)
+    max_degree: int = struct.field(pytree_node=False, default=0)
+
+
+def build_partitioned_graph(indptr, indices, num_parts: int, *,
+                            ell_table: Optional[bool] = None
+                            ) -> PartitionedGraph:
+    """Host-side partitioner: global CSC -> interleaved per-owner shards."""
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    N = indptr.shape[0] - 1
+    Pn = int(num_parts)
+    Np = -(-N // Pn) if N else 1
+    deg = np.diff(indptr)
+    max_deg = int(deg.max()) if N else 0
+
+    ldeg = np.zeros((Pn * Np,), np.int32)
+    lstart = np.zeros((Pn * Np,), np.int32)
+    gstart = np.zeros((Pn * Np,), np.int32)
+    owner_rows = [np.arange(p, N, Pn, dtype=np.int64) for p in range(Pn)]
+    emax = max(1, max(int(deg[r].sum()) for r in owner_rows) if N else 1)
+    lind = np.zeros((Pn * emax,), np.int32)
+    for p, rows in enumerate(owner_rows):
+        d = deg[rows]
+        starts = np.concatenate([[0], np.cumsum(d)[:-1]]) if len(rows) else \
+            np.zeros((0,), np.int64)
+        ldeg[p * Np: p * Np + len(rows)] = d
+        lstart[p * Np: p * Np + len(rows)] = starts
+        gstart[p * Np: p * Np + len(rows)] = indptr[rows]
+        # one concatenated copy of the owner's neighbor lists
+        buf = np.concatenate(
+            [indices[indptr[r]: indptr[r + 1]] for r in rows]) if len(rows) \
+            else np.zeros((0,), np.int64)
+        lind[p * emax: p * emax + buf.shape[0]] = buf
+
+    W = ell_width_for(max_deg)
+    if ell_table is None:
+        ell_table = W is not None and N > 0
+    ell = None
+    if ell_table and W is not None and N > 0:
+        ell = np.zeros((Pn * Np, W), np.int32)
+        lane = np.arange(W - 2, dtype=np.int64)[None, :]
+        for p, rows in enumerate(owner_rows):
+            if not len(rows):
+                continue
+            offs = indptr[rows][:, None] + lane
+            block = indices[np.minimum(offs, max(indices.shape[0] - 1, 0))]
+            ell[p * Np: p * Np + len(rows), : W - 2] = block
+            ell[p * Np: p * Np + len(rows), W - 2] = deg[rows]
+            ell[p * Np: p * Np + len(rows), W - 1] = indptr[rows]
+        ell = jnp.asarray(ell)
+
+    return PartitionedGraph(
+        ldeg=jnp.asarray(ldeg), lstart=jnp.asarray(lstart),
+        gstart=jnp.asarray(gstart), lindices=jnp.asarray(lind), ell=ell,
+        num_nodes=N, num_parts=Pn, rows_per_part=Np, local_edge_cap=emax,
+        max_degree=max_deg)
+
+
+# ---------------------------------------------------------------------------
+# Request routing (shared shape with sharded_features.halo_gather)
+# ---------------------------------------------------------------------------
+
+def _route_to_owners(owner, valid, num_parts: int, capacity: int):
+    """Routing plan: per-request owner/rank with capacity-overflow mask.
+
+    Invalid requests never consume capacity (sorted past every valid one);
+    returns ``(rank, ok, scatter)`` where ``scatter(payload (L,)) -> (P, C)``
+    places payloads in their routed slots and ``ok`` marks requests that won
+    a slot.  Mirrors halo_gather's scheme so diagnostics mean the same thing.
+    """
+    L = owner.shape[0]
+    sort_key = owner + jnp.where(valid, 0, num_parts)
+    order = jnp.argsort(sort_key, stable=True)
+    sorted_owner = owner[order]
+    cnt = jnp.bincount(jnp.where(valid, owner, num_parts),
+                       length=num_parts + 1)[:num_parts]
+    start = jnp.concatenate([jnp.zeros((1,), cnt.dtype),
+                             jnp.cumsum(cnt)[:-1]])
+    pos = jnp.arange(L, dtype=jnp.int32)
+    inv = jnp.zeros((L,), jnp.int32).at[order].set(pos)
+    rank = inv - start[jnp.clip(owner, 0, num_parts - 1)].astype(jnp.int32)
+    ok = (rank < capacity) & valid
+
+    def scatter(payload):
+        col = jnp.where(ok, rank, capacity)
+        out = jnp.zeros((num_parts, capacity), payload.dtype)
+        return out.at[owner, col].set(payload, mode="drop")
+
+    return rank, ok, scatter
+
+
+def _uid_keys(key_hop, uids):
+    """Per-request counter-based keys: fold the global tree-slot uid."""
+    return jax.vmap(lambda u: jax.random.fold_in(key_hop, u))(uids)
+
+
+def _uid_uniform_lane_topk(keys, deg, num_lanes: int, k: int):
+    """uniform_lane_topk with one independent key per row (same law)."""
+    r = jax.vmap(lambda kk: jax.random.uniform(kk, (num_lanes,)))(keys)
+    lane = jnp.arange(num_lanes, dtype=jnp.int32)
+    vals = jnp.where(lane < deg[..., None], r, -jnp.inf)
+    kk_ = min(k, num_lanes)
+    top_vals, pos = jax.lax.top_k(vals, kk_)
+    valid = jnp.isfinite(top_vals)
+    if kk_ < k:
+        pos = jnp.pad(pos, ((0, 0), (0, k - kk_)))
+        valid = jnp.pad(valid, ((0, 0), (0, k - kk_)))
+    return jnp.where(valid, pos, 0), valid
+
+
+def _uid_floyd(keys, deg, k: int):
+    """floyd_sample with per-row keys (rows beyond ELL width)."""
+    from ..sampling.primitives import floyd_sample
+    return jax.vmap(lambda kk, d: floyd_sample(kk, d[None], k))(
+        keys, deg)  # -> ((B,1,k), (B,1,k))
+
+
+def _uid_replacement(keys, deg, k: int):
+    hi = jnp.maximum(deg, 1)
+    pos = jax.vmap(
+        lambda kk, h: jax.random.randint(kk, (k,), 0, h, dtype=jnp.int32)
+    )(keys, hi)
+    valid = jnp.broadcast_to((deg > 0)[:, None], pos.shape)
+    return jnp.where(valid, pos, 0), valid
+
+
+def _owner_sample(g: PartitionedGraph, key_hop, recv, k: int,
+                  with_replacement: bool):
+    """Sample k in-edges for each received request (OWNER side, in shard_map).
+
+    ``recv (P, C, 2)``: [local_row, slot_uid] per request.  Returns
+    ``(neighbor, eptr, valid)`` each (P, C, k) int32, in the requester's
+    global id / global edge-ptr space.
+    """
+    ldeg, lstart, gstart, lindices, ell = (
+        g.ldeg, g.lstart, g.gstart, g.lindices, g.ell)
+    Pn, C, _ = recv.shape
+    rows = jnp.clip(recv[..., 0].reshape(-1), 0, ldeg.shape[0] - 1)
+    uids = recv[..., 1].reshape(-1).astype(jnp.uint32)
+    keys = _uid_keys(key_hop, uids)
+
+    if ell is not None:
+        row = ell[rows]
+        lanes, deg, starts = row[:, :-2], row[:, -2], row[:, -1]
+        if with_replacement:
+            pos, pvalid = _uid_replacement(keys, deg, k)
+        else:
+            pos, pvalid = _uid_uniform_lane_topk(keys, deg,
+                                                 lanes.shape[-1], k)
+        neighbor = _select_lanes(lanes, jnp.clip(pos, 0, lanes.shape[-1] - 1))
+        eptr = starts[:, None] + pos
+    else:
+        deg = ldeg[rows]
+        if with_replacement:
+            pos, pvalid = _uid_replacement(keys, deg, k)
+        else:
+            pos, pvalid = _uid_floyd(keys, deg, k)
+            pos, pvalid = pos.reshape(-1, k), pvalid.reshape(-1, k)
+        lptr = lstart[rows][:, None] + pos
+        neighbor = lindices[jnp.clip(lptr, 0, lindices.shape[0] - 1)]
+        eptr = gstart[rows][:, None] + pos
+
+    shape = (Pn, C, k)
+    return (neighbor.reshape(shape).astype(jnp.int32),
+            eptr.reshape(shape).astype(jnp.int32),
+            pvalid.reshape(shape))
+
+
+def _exchange_hop(key_hop, graph_shard, frontier, fvalid, fuid, k: int,
+                  *, axis: str, num_parts: int, capacity: int,
+                  with_replacement: bool):
+    """One distributed hop: route -> owner-sample -> route back.
+
+    All inputs/outputs are per-device (INSIDE shard_map).  Returns
+    ``(neighbor (L,k), eptr (L,k), valid (L,k), overflow scalar)``.
+    """
+    g = graph_shard
+    gid = jnp.clip(frontier, 0, max(g.num_nodes - 1, 0))
+    owner = (gid % num_parts).astype(jnp.int32)
+    local = (gid // num_parts).astype(jnp.int32)
+
+    rank, ok, scatter = _route_to_owners(owner, fvalid, num_parts, capacity)
+    req = jnp.stack([scatter(local), scatter(fuid.astype(jnp.int32))],
+                    axis=-1)                                  # (P, C, 2)
+    recv = jax.lax.all_to_all(req, axis, 0, 0)                # (P, C, 2)
+
+    neighbor, eptr, pvalid = _owner_sample(g, key_hop, recv, k,
+                                           with_replacement)
+
+    back = jax.lax.all_to_all(
+        jnp.concatenate([neighbor, eptr, pvalid.astype(jnp.int32)], axis=-1),
+        axis, 0, 0)                                           # (P, C, 3k)
+    mine = back[owner, jnp.where(ok, rank, 0)]                # (L, 3k)
+    neighbor = mine[:, :k]
+    eptr = mine[:, k: 2 * k]
+    valid = (mine[:, 2 * k:] != 0) & ok[:, None]
+    overflow = (~ok & fvalid).sum()
+    return neighbor, eptr, valid, overflow
+
+
+def _dist_sample_device(key, graph_shard, seeds_local, *, dev,
+                        fanouts: Tuple[int, ...], axis: str, num_parts: int,
+                        total_seeds: int, capacity_factor: float,
+                        with_replacement: bool):
+    """Multi-hop distributed sampling for one device's seed shard.
+
+    Mirrors ``_sample_neighbors_impl``'s slot arithmetic; draws are keyed by
+    the GLOBAL tree slot uid so the result is device-count independent.
+    Returns (NeighborSample, overflow scalar).
+    """
+    B0 = seeds_local.shape[0]
+    node_base, edge_base = _layer_layout(B0, fanouts)
+    gnode_base, _ = _layer_layout(total_seeds, fanouts)
+
+    nodes = [seeds_local.astype(jnp.int32)]
+    valids = [jnp.ones((B0,), jnp.bool_)]
+    rows, cols, eptrs, evalids = [], [], [], []
+    overflow = jnp.zeros((), jnp.int32)
+
+    L = B0          # per-device frontier size at the current hop
+    for ell, k in enumerate(fanouts):
+        frontier, fvalid = nodes[ell], valids[ell]
+        # global slot uid of each frontier occurrence (device-count
+        # independent: dev * L + i is the node's index within the global
+        # layer because the seed batch is split contiguously)
+        fuid = (gnode_base[ell] + dev * L
+                + jnp.arange(L, dtype=jnp.int32))
+        # per-(requester, owner) request capacity; expected load is L / P
+        capacity = max(1, min(int(np.ceil(capacity_factor * L / num_parts)),
+                              L))
+        hop_key = rng.fold(key, ell)
+        neighbor, eptr, valid, ovf = _exchange_hop(
+            hop_key, graph_shard, frontier, fvalid, fuid, k,
+            axis=axis, num_parts=num_parts, capacity=capacity,
+            with_replacement=with_replacement)
+        overflow = overflow + ovf
+
+        slot = node_base[ell + 1] + (
+            jnp.arange(L, dtype=jnp.int32)[:, None] * k
+            + jnp.arange(k, dtype=jnp.int32)[None, :])
+        col = node_base[ell] + jnp.arange(L, dtype=jnp.int32)[:, None]
+        nodes.append(neighbor.reshape(-1))
+        valids.append(valid.reshape(-1))
+        rows.append(slot.reshape(-1))
+        cols.append(jnp.broadcast_to(col, (L, k)).reshape(-1))
+        eptrs.append(eptr.reshape(-1))
+        evalids.append(valid.reshape(-1))
+        L = L * k
+
+    all_nodes = jnp.concatenate(nodes)
+    sample = NeighborSample(
+        nodes=all_nodes,
+        node_valid=jnp.concatenate(valids),
+        node_state=jnp.zeros_like(all_nodes),
+        rows=jnp.concatenate(rows),
+        cols=jnp.concatenate(cols),
+        eptr=jnp.concatenate(eptrs),
+        edge_valid=jnp.concatenate(evalids),
+        node_base=node_base, edge_base=edge_base, fanouts=tuple(fanouts))
+    return sample, overflow
+
+
+def dist_sample_neighbors(key, graph: PartitionedGraph, seeds, fanouts,
+                          mesh: Mesh, *, axis: str = "data",
+                          with_replacement: bool = False,
+                          capacity_factor: float = 1.3):
+    """Distributed multi-hop neighbor sampling (public / test entry point).
+
+    ``seeds (B,)`` is the GLOBAL seed batch (B divisible by mesh size); the
+    result's arrays carry a leading device axis: ``nodes (P, L)`` etc., where
+    device d's block is the sample tree of seeds ``[d*B/P, (d+1)*B/P)``.
+    Concatenating blocks per layer reproduces the P=1 layout bit-exactly.
+    """
+    Pn = int(mesh.shape[axis])
+    fanouts = tuple(int(k) for k in fanouts)
+    seeds = jnp.asarray(seeds)
+    B = seeds.shape[0]
+    assert B % Pn == 0, "global seed batch must divide the mesh axis"
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)))
+    def run(key, gshard, seeds_local):
+        dev = jax.lax.axis_index(axis)
+        sample, ovf = _dist_sample_device(
+            key, gshard, seeds_local, dev=dev, fanouts=fanouts, axis=axis,
+            num_parts=Pn, total_seeds=B, capacity_factor=capacity_factor,
+            with_replacement=with_replacement)
+        add_dev = lambda a: a[None]
+        return jax.tree_util.tree_map(add_dev, sample), ovf[None]
+
+    with mesh:
+        gput = jax.device_put(graph, NamedSharding(mesh, P(axis)))
+        sput = jax.device_put(seeds, NamedSharding(mesh, P(axis)))
+        return run(key, gput, sput)
+
+
+# ---------------------------------------------------------------------------
+# Fully partitioned training: topology + features both sharded
+# ---------------------------------------------------------------------------
+
+def make_partitioned_trainer(
+    model,
+    fanouts: Sequence[int],
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    learning_rate: float = 1e-2,
+    with_replacement: bool = False,
+    capacity_factor: float = 1.3,
+):
+    """Sampled-training closures where NOTHING graph-sized is replicated:
+    adjacency shards via :class:`PartitionedGraph`, features interleave-shard
+    (``sharded_features.build_interleaved_features``), seeds/labels shard
+    over the same axis.  Per step: distributed sampling (two all_to_alls per
+    hop) -> distributed feature fetch (two all_to_alls) -> local tree
+    forward/backward -> gradient pmean.  Returns (init_fn, train_step,
+    eval_step); train_step also returns summed (sampling, feature) overflow
+    diagnostics.
+    """
+    tree_forward = type(model).tree_forward
+    fanouts = tuple(int(k) for k in fanouts)
+    tx = optax.adam(learning_rate)
+    num_parts = int(mesh.shape[axis])
+
+    def _sample_and_gather(key, gshard, x_shard, seeds_local, dev):
+        total_seeds = seeds_local.shape[0] * num_parts
+        sample, s_ovf = _dist_sample_device(
+            key, gshard, seeds_local, dev=dev, fanouts=fanouts, axis=axis,
+            num_parts=num_parts, total_seeds=total_seeds,
+            capacity_factor=capacity_factor,
+            with_replacement=with_replacement)
+        n_rows = x_shard.shape[0] * num_parts
+        ids = jnp.clip(sample.nodes, 0, n_rows - 1)
+        capacity = int(np.ceil(capacity_factor * ids.shape[0] / num_parts))
+        capacity = min(capacity, ids.shape[0])
+        x, f_ovf = halo_gather(x_shard, ids, axis=axis,
+                               num_parts=num_parts, capacity=capacity,
+                               valid=sample.node_valid)
+        return sample, x, (s_ovf, f_ovf)
+
+    def _loss(params, key, gshard, x_shard, seeds_local, labels_local,
+              dev, deterministic):
+        sample, x, ovf = _sample_and_gather(key, gshard, x_shard,
+                                            seeds_local, dev)
+        logits = model.apply(params, sample, x, deterministic=deterministic,
+                             rngs={"dropout": rng.fold(key,
+                                                       rng.DROPOUT_STREAM)},
+                             method=tree_forward)
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels_local).mean()
+        return loss, (logits, ovf)
+
+    repl, shard = P(), P(axis)
+
+    def init_fn(key, graph, x_sharded, seeds):
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(repl, shard, shard, shard),
+                           out_specs=repl)
+        def _init(key, gshard, x_shard, seeds_local):
+            dev = jax.lax.axis_index(axis)
+            sample, x, _ = _sample_and_gather(key, gshard, x_shard,
+                                              seeds_local, dev)
+            params = model.init(key, sample, x, method=tree_forward)
+            return jax.lax.pmean(params, axis)
+
+        params = _init(key, graph, x_sharded, seeds)
+        return TrainState(params=params, opt_state=tx.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    @jax.jit
+    def train_step(state: TrainState, key, graph, x_sharded, seeds, labels):
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(repl, repl, repl, repl, shard, shard, shard, shard),
+            out_specs=(repl, repl, repl, repl, repl))
+        def _step(params, opt_state, step, key, gshard, x_shard,
+                  seeds_local, labels_local):
+            dev = jax.lax.axis_index(axis)
+            k = rng.fold(key, step)
+            (loss, (logits, ovf)), grads = jax.value_and_grad(
+                _loss, has_aux=True)(params, k, gshard, x_shard, seeds_local,
+                                     labels_local, dev, False)
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
+            acc = jax.lax.pmean(
+                (logits.argmax(-1) == labels_local).mean(), axis)
+            overflow = jax.lax.psum(ovf[0] + ovf[1], axis)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt, loss, acc, overflow
+
+        params, opt_state, loss, acc, overflow = _step(
+            state.params, state.opt_state, state.step, key, graph, x_sharded,
+            seeds, labels)
+        return (TrainState(params, opt_state, state.step + 1),
+                loss, acc, overflow)
+
+    @jax.jit
+    def eval_step(state: TrainState, key, graph, x_sharded, seeds, labels):
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(repl, repl, shard, shard, shard, shard),
+            out_specs=(repl, repl))
+        def _eval(params, key, gshard, x_shard, seeds_local, labels_local):
+            dev = jax.lax.axis_index(axis)
+            k = rng.fold(key, jnp.asarray(1 << 20, jnp.uint32))
+            loss, (logits, _) = _loss(params, k, gshard, x_shard,
+                                      seeds_local, labels_local, dev, True)
+            acc = (logits.argmax(-1) == labels_local).mean()
+            return jax.lax.pmean(loss, axis), jax.lax.pmean(acc, axis)
+
+        return _eval(state.params, key, graph, x_sharded, seeds, labels)
+
+    return init_fn, train_step, eval_step

@@ -66,8 +66,11 @@ def floyd_sample(key: jax.Array, deg: jax.Array, k: int) -> Tuple[jax.Array, jax
         new = jnp.where(hit, j, t)
         return chosen.at[..., i].set(new)
 
-    chosen = jax.lax.fori_loop(
-        0, k, body, jnp.full(batch_shape + (k,), -1, dtype=jnp.int32))
+    # init derived from degc (not a fresh constant) so it inherits degc's
+    # shard_map varying-manual-axes type — a constant init fails vma typing
+    # when floyd runs per-device inside shard_map
+    init = (degc * 0 - 1)[..., None] * jnp.ones((k,), jnp.int32)
+    chosen = jax.lax.fori_loop(0, k, body, init)
 
     # deg <= k: take every position [0, deg)
     iota = jnp.arange(k, dtype=jnp.int32)
