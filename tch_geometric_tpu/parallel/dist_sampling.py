@@ -42,7 +42,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.graph import ell_width_for
 from ..sampling import rng
-from ..sampling.neighbor import NeighborSample, _layer_layout, _select_lanes
+from ..sampling.neighbor import (NeighborSample, _filter_mask_from_ts,
+                                 _layer_layout, _select_lanes)
+from ..utils.config import TEMPORAL_SAMPLE_DYNAMIC, TemporalEdgeFilter
 from .sharded_features import halo_gather
 from .train import TrainState
 
@@ -69,6 +71,13 @@ class PartitionedGraph:
     # Optional ELL fast path: one row fetch per request (lanes [0, W-2) are
     # neighbor ids, W-2 degree, W-1 global start) — data/graph.py layout.
     ell: Optional[jax.Array] = None   # (P*Np, W) int32
+    # Optional per-edge attributes, partitioned with the topology (the
+    # distributed analogue of WeightedEdgeSampler weights / TemporalEdgeFilter
+    # timestamps, which at scale must live with their owner's edges).
+    llogw: Optional[jax.Array] = None   # (P*Emax,) f32 LOG edge weights
+    lts: Optional[jax.Array] = None     # (P*Emax,) i32 edge timestamps
+    ell_logw: Optional[jax.Array] = None  # (P*Np, W-2) f32 ELL-aligned
+    ell_ts: Optional[jax.Array] = None    # (P*Np, W-2) i32 ELL-aligned
     num_nodes: int = struct.field(pytree_node=False, default=0)
     num_parts: int = struct.field(pytree_node=False, default=1)
     rows_per_part: int = struct.field(pytree_node=False, default=0)
@@ -77,12 +86,21 @@ class PartitionedGraph:
 
 
 def build_partitioned_graph(indptr, indices, num_parts: int, *,
+                            edge_weights=None, edge_timestamps=None,
                             ell_table: Optional[bool] = None
                             ) -> PartitionedGraph:
-    """Host-side partitioner: global CSC -> interleaved per-owner shards."""
+    """Host-side partitioner: global CSC -> interleaved per-owner shards.
+
+    Fully vectorized (one stable O(E) sort + O(N) scans) so billion-edge
+    inputs partition at array speed, like the native CSC builder — no
+    per-row Python; the CSC's global-row order already equals each owner's
+    local-row order (rows p, p+P, p+2P, ... are increasing), so a stable
+    sort of edges by owner is the whole reshuffle.
+    """
     indptr = np.asarray(indptr, dtype=np.int64)
     indices = np.asarray(indices, dtype=np.int64)
     N = indptr.shape[0] - 1
+    E = indices.shape[0]
     Pn = int(num_parts)
     Np = -(-N // Pn) if N else 1
     deg = np.diff(indptr)
@@ -91,42 +109,74 @@ def build_partitioned_graph(indptr, indices, num_parts: int, *,
     ldeg = np.zeros((Pn * Np,), np.int32)
     lstart = np.zeros((Pn * Np,), np.int32)
     gstart = np.zeros((Pn * Np,), np.int32)
-    owner_rows = [np.arange(p, N, Pn, dtype=np.int64) for p in range(Pn)]
-    emax = max(1, max(int(deg[r].sum()) for r in owner_rows) if N else 1)
+    counts = np.zeros((Pn,), np.int64)
+    for p in range(Pn):
+        d = deg[p::Pn]
+        n_p = d.shape[0]
+        ldeg[p * Np: p * Np + n_p] = d
+        lstart[p * Np: p * Np + n_p] = np.cumsum(d) - d
+        gstart[p * Np: p * Np + n_p] = indptr[:-1][p::Pn]
+        counts[p] = d.sum()
+    emax = max(1, int(counts.max()) if N else 1)
+
+    logw = None
+    if edge_weights is not None:
+        logw = np.log(np.asarray(edge_weights, dtype=np.float32))
+    ts = None
+    if edge_timestamps is not None:
+        ts = np.asarray(edge_timestamps, dtype=np.int32)
+
     lind = np.zeros((Pn * emax,), np.int32)
-    for p, rows in enumerate(owner_rows):
-        d = deg[rows]
-        starts = np.concatenate([[0], np.cumsum(d)[:-1]]) if len(rows) else \
-            np.zeros((0,), np.int64)
-        ldeg[p * Np: p * Np + len(rows)] = d
-        lstart[p * Np: p * Np + len(rows)] = starts
-        gstart[p * Np: p * Np + len(rows)] = indptr[rows]
-        # one concatenated copy of the owner's neighbor lists
-        buf = np.concatenate(
-            [indices[indptr[r]: indptr[r + 1]] for r in rows]) if len(rows) \
-            else np.zeros((0,), np.int64)
-        lind[p * emax: p * emax + buf.shape[0]] = buf
+    llogw = np.zeros((Pn * emax,), np.float32) if logw is not None else None
+    lts = np.zeros((Pn * emax,), np.int32) if ts is not None else None
+    if E:
+        edge_owner = (np.repeat(np.arange(N, dtype=np.int64), deg)
+                      % Pn).astype(np.int32)
+        order = np.argsort(edge_owner, kind="stable")
+        starts_p = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        dst = (np.arange(E, dtype=np.int64) - starts_p[edge_owner[order]]
+               + np.int64(emax) * edge_owner[order])
+        lind[dst] = indices[order]
+        if llogw is not None:
+            llogw[dst] = logw[order]
+        if lts is not None:
+            lts[dst] = ts[order]
 
     W = ell_width_for(max_deg)
     if ell_table is None:
         ell_table = W is not None and N > 0
-    ell = None
+    ell = ell_logw = ell_ts = None
     if ell_table and W is not None and N > 0:
         ell = np.zeros((Pn * Np, W), np.int32)
+        if logw is not None:
+            ell_logw = np.zeros((Pn * Np, W - 2), np.float32)
+        if ts is not None:
+            ell_ts = np.zeros((Pn * Np, W - 2), np.int32)
         lane = np.arange(W - 2, dtype=np.int64)[None, :]
-        for p, rows in enumerate(owner_rows):
-            if not len(rows):
-                continue
-            offs = indptr[rows][:, None] + lane
-            block = indices[np.minimum(offs, max(indices.shape[0] - 1, 0))]
-            ell[p * Np: p * Np + len(rows), : W - 2] = block
+        CH = 1 << 19                    # chunk rows: bounds host temporaries
+        for p in range(Pn):
+            rows = np.arange(p, N, Pn, dtype=np.int64)
+            for lo in range(0, len(rows), CH):
+                r = rows[lo: lo + CH]
+                offs = np.minimum(indptr[r][:, None] + lane, max(E - 1, 0))
+                sl = slice(p * Np + lo, p * Np + lo + len(r))
+                ell[sl, : W - 2] = indices[offs]
+                if ell_logw is not None:
+                    ell_logw[sl] = logw[offs]
+                if ell_ts is not None:
+                    ell_ts[sl] = ts[offs]
             ell[p * Np: p * Np + len(rows), W - 2] = deg[rows]
             ell[p * Np: p * Np + len(rows), W - 1] = indptr[rows]
         ell = jnp.asarray(ell)
+        ell_logw = None if ell_logw is None else jnp.asarray(ell_logw)
+        ell_ts = None if ell_ts is None else jnp.asarray(ell_ts)
 
     return PartitionedGraph(
         ldeg=jnp.asarray(ldeg), lstart=jnp.asarray(lstart),
         gstart=jnp.asarray(gstart), lindices=jnp.asarray(lind), ell=ell,
+        llogw=None if llogw is None else jnp.asarray(llogw),
+        lts=None if lts is None else jnp.asarray(lts),
+        ell_logw=ell_logw, ell_ts=ell_ts,
         num_nodes=N, num_parts=Pn, rows_per_part=Np, local_edge_cap=emax,
         max_degree=max_deg)
 
@@ -199,55 +249,197 @@ def _uid_replacement(keys, deg, k: int):
     return jnp.where(valid, pos, 0), valid
 
 
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def _uid_gumbel_topk(keys, logits, k: int):
+    """Gumbel-top-k over explicit (B, L) logits with one key per row:
+    weighted sampling without replacement (Efraimidis–Spirakis, the
+    distributed twin of primitives.window_topk_sample)."""
+    L = logits.shape[-1]
+    r = jax.vmap(lambda kk: jax.random.uniform(kk, (L,), jnp.float32,
+                                               minval=1e-12))(keys)
+    total = jnp.where(jnp.isfinite(logits),
+                      logits - jnp.log(-jnp.log(r)), NEG_INF)
+    kk_ = min(k, L)
+    vals, pos = jax.lax.top_k(total, kk_)
+    valid = jnp.isfinite(vals)
+    if kk_ < k:
+        pos = jnp.pad(pos, ((0, 0), (0, k - kk_)))
+        valid = jnp.pad(valid, ((0, 0), (0, k - kk_)))
+    return jnp.where(valid, pos, 0).astype(jnp.int32), valid
+
+
+def _uid_gumbel_choice(keys, logits, k: int):
+    """k INDEPENDENT weighted draws per row (with replacement): per-draw
+    Gumbel-argmax, one key per row."""
+    L = logits.shape[-1]
+    r = jax.vmap(lambda kk: jax.random.uniform(kk, (k, L), jnp.float32,
+                                               minval=1e-12))(keys)
+    total = jnp.where(jnp.isfinite(logits)[:, None, :],
+                      logits[:, None, :] - jnp.log(-jnp.log(r)), NEG_INF)
+    pos = jnp.argmax(total, axis=-1).astype(jnp.int32)
+    valid = jnp.isfinite(jnp.max(total, axis=-1))
+    return jnp.where(valid, pos, 0), valid
+
+
+def _uid_window_sample(keys, deg, lstart_rows, llogw, lts, state, k: int,
+                       *, max_degree: int, window: int, weighted: bool,
+                       filter_cfg, with_replacement: bool):
+    """Chunked weighted/filtered sampling for rows beyond the ELL width:
+    scan the neighbor window in chunks with a running top-k (or per-draw
+    max) carry — primitives.window_{topk,choice}_sample with per-uid keys.
+    Returns (pos (B,k), valid (B,k))."""
+    B = deg.shape[0]
+    n_chunks = max(1, -(-max(max_degree, 1) // window))
+    Ecap = llogw.shape[0] if llogw is not None else (
+        lts.shape[0] if lts is not None else 1)
+
+    def chunk_logits(c):
+        pos = c * window + jnp.arange(window, dtype=jnp.int32)
+        pos = jnp.broadcast_to(pos, (B, window))
+        ok = pos < deg[:, None]
+        lptr = jnp.clip(lstart_rows[:, None] + pos, 0, Ecap - 1)
+        logits = jnp.zeros((B, window), jnp.float32)
+        if weighted:
+            logits = llogw[lptr]
+        if filter_cfg is not None:
+            ok = jnp.logical_and(
+                ok, _filter_mask_from_ts(filter_cfg, lts[lptr], state))
+        return pos, jnp.where(ok, logits, NEG_INF)
+
+    def noise(c, shape_tail):
+        return jax.vmap(
+            lambda kk: jax.random.uniform(jax.random.fold_in(kk, c),
+                                          shape_tail, jnp.float32,
+                                          minval=1e-12))(keys)
+
+    if not with_replacement:
+        def body(c, carry):
+            top_vals, top_pos = carry
+            pos, logits = chunk_logits(c)
+            g = logits - jnp.log(-jnp.log(noise(c, (window,))))
+            g = jnp.where(jnp.isfinite(logits), g, NEG_INF)
+            all_vals = jnp.concatenate([top_vals, g], axis=1)
+            all_pos = jnp.concatenate([top_pos, pos], axis=1)
+            new_vals, idx = jax.lax.top_k(all_vals, k)
+            return new_vals, jnp.take_along_axis(all_pos, idx, axis=1)
+
+        init = (jnp.full((B, k), NEG_INF) + deg[:, None] * 0.0,
+                jnp.zeros((B, k), jnp.int32) + deg[:, None] * 0)
+        top_vals, top_pos = jax.lax.fori_loop(0, n_chunks, body, init)
+        valid = jnp.isfinite(top_vals)
+        return jnp.where(valid, top_pos, 0), valid
+
+    def body(c, carry):
+        best_vals, best_pos = carry
+        pos, logits = chunk_logits(c)
+        g = logits[:, None, :] - jnp.log(-jnp.log(noise(c, (k, window))))
+        g = jnp.where(jnp.isfinite(logits)[:, None, :], g, NEG_INF)
+        chunk_best = jnp.max(g, axis=-1)
+        arg = jnp.argmax(g, axis=-1).astype(jnp.int32)
+        chunk_pos = c * window + arg
+        better = chunk_best > best_vals
+        return (jnp.where(better, chunk_best, best_vals),
+                jnp.where(better, chunk_pos, best_pos))
+
+    init = (jnp.full((B, k), NEG_INF) + deg[:, None] * 0.0,
+            jnp.zeros((B, k), jnp.int32) + deg[:, None] * 0)
+    best_vals, best_pos = jax.lax.fori_loop(0, n_chunks, body, init)
+    valid = jnp.isfinite(best_vals)
+    return jnp.where(valid, best_pos, 0), valid
+
+
 def _owner_sample(g: PartitionedGraph, key_hop, recv, k: int,
-                  with_replacement: bool):
+                  with_replacement: bool, weighted: bool, filter_cfg,
+                  window: int):
     """Sample k in-edges for each received request (OWNER side, in shard_map).
 
-    ``recv (P, C, 2)``: [local_row, slot_uid] per request.  Returns
-    ``(neighbor, eptr, valid)`` each (P, C, k) int32, in the requester's
-    global id / global edge-ptr space.
+    ``recv (P, C, 3)``: [local_row, slot_uid, filter_state] per request.
+    Returns ``(neighbor, eptr, valid, new_state)`` each (P, C, k) int32, in
+    the requester's global id / global edge-ptr space.
     """
     ldeg, lstart, gstart, lindices, ell = (
         g.ldeg, g.lstart, g.gstart, g.lindices, g.ell)
     Pn, C, _ = recv.shape
     rows = jnp.clip(recv[..., 0].reshape(-1), 0, ldeg.shape[0] - 1)
     uids = recv[..., 1].reshape(-1).astype(jnp.uint32)
+    state = recv[..., 2].reshape(-1)
     keys = _uid_keys(key_hop, uids)
+    plain = not weighted and filter_cfg is None
 
+    ts_sel = None  # (B, k) sampled-edge timestamps (for DYNAMIC state)
     if ell is not None:
         row = ell[rows]
         lanes, deg, starts = row[:, :-2], row[:, -2], row[:, -1]
-        if with_replacement:
-            pos, pvalid = _uid_replacement(keys, deg, k)
+        if plain:
+            if with_replacement:
+                pos, pvalid = _uid_replacement(keys, deg, k)
+            else:
+                pos, pvalid = _uid_uniform_lane_topk(keys, deg,
+                                                     lanes.shape[-1], k)
         else:
-            pos, pvalid = _uid_uniform_lane_topk(keys, deg,
-                                                 lanes.shape[-1], k)
+            L = lanes.shape[-1]
+            ok = jnp.arange(L, dtype=jnp.int32)[None, :] < deg[:, None]
+            logits = (g.ell_logw[rows] if weighted
+                      else jnp.zeros((rows.shape[0], L), jnp.float32))
+            tsl = None
+            if filter_cfg is not None:
+                tsl = g.ell_ts[rows]
+                ok = jnp.logical_and(
+                    ok, _filter_mask_from_ts(filter_cfg, tsl, state))
+            logits = jnp.where(ok, logits, NEG_INF)
+            engine = (_uid_gumbel_choice if with_replacement
+                      else _uid_gumbel_topk)
+            pos, pvalid = engine(keys, logits, k)
+            if tsl is not None:
+                ts_sel = _select_lanes(tsl, jnp.clip(pos, 0, L - 1))
         neighbor = _select_lanes(lanes, jnp.clip(pos, 0, lanes.shape[-1] - 1))
         eptr = starts[:, None] + pos
     else:
         deg = ldeg[rows]
-        if with_replacement:
-            pos, pvalid = _uid_replacement(keys, deg, k)
+        lstart_rows = lstart[rows]
+        if plain:
+            if with_replacement:
+                pos, pvalid = _uid_replacement(keys, deg, k)
+            else:
+                pos, pvalid = _uid_floyd(keys, deg, k)
+                pos, pvalid = pos.reshape(-1, k), pvalid.reshape(-1, k)
         else:
-            pos, pvalid = _uid_floyd(keys, deg, k)
-            pos, pvalid = pos.reshape(-1, k), pvalid.reshape(-1, k)
-        lptr = lstart[rows][:, None] + pos
-        neighbor = lindices[jnp.clip(lptr, 0, lindices.shape[0] - 1)]
+            pos, pvalid = _uid_window_sample(
+                keys, deg, lstart_rows, g.llogw, g.lts, state, k,
+                max_degree=g.max_degree, window=window, weighted=weighted,
+                filter_cfg=filter_cfg, with_replacement=with_replacement)
+        lptr = jnp.clip(lstart_rows[:, None] + pos, 0,
+                        lindices.shape[0] - 1)
+        neighbor = lindices[lptr]
         eptr = gstart[rows][:, None] + pos
+        if filter_cfg is not None:
+            ts_sel = g.lts[lptr]
+
+    # TemporalFilter::mutate (neighbor_sampling.rs:69-76): DYNAMIC mode
+    # carries the sampled edge's timestamp; STATIC/RELATIVE keep the state.
+    if filter_cfg is not None and filter_cfg.mode == TEMPORAL_SAMPLE_DYNAMIC:
+        new_state = ts_sel
+    else:
+        new_state = jnp.broadcast_to(state[:, None], (state.shape[0], k))
 
     shape = (Pn, C, k)
     return (neighbor.reshape(shape).astype(jnp.int32),
             eptr.reshape(shape).astype(jnp.int32),
-            pvalid.reshape(shape))
+            pvalid.reshape(shape),
+            new_state.reshape(shape).astype(jnp.int32))
 
 
-def _exchange_hop(key_hop, graph_shard, frontier, fvalid, fuid, k: int,
-                  *, axis: str, num_parts: int, capacity: int,
-                  with_replacement: bool):
+def _exchange_hop(key_hop, graph_shard, frontier, fvalid, fuid, fstate,
+                  k: int, *, axis: str, num_parts: int, capacity: int,
+                  with_replacement: bool, weighted: bool, filter_cfg,
+                  window: int):
     """One distributed hop: route -> owner-sample -> route back.
 
     All inputs/outputs are per-device (INSIDE shard_map).  Returns
-    ``(neighbor (L,k), eptr (L,k), valid (L,k), overflow scalar)``.
+    ``(neighbor (L,k), eptr (L,k), valid (L,k), new_state (L,k),
+    overflow scalar)``.
     """
     g = graph_shard
     gid = jnp.clip(frontier, 0, max(g.num_nodes - 1, 0))
@@ -255,28 +447,33 @@ def _exchange_hop(key_hop, graph_shard, frontier, fvalid, fuid, k: int,
     local = (gid // num_parts).astype(jnp.int32)
 
     rank, ok, scatter = _route_to_owners(owner, fvalid, num_parts, capacity)
-    req = jnp.stack([scatter(local), scatter(fuid.astype(jnp.int32))],
-                    axis=-1)                                  # (P, C, 2)
-    recv = jax.lax.all_to_all(req, axis, 0, 0)                # (P, C, 2)
+    req = jnp.stack([scatter(local), scatter(fuid.astype(jnp.int32)),
+                     scatter(fstate.astype(jnp.int32))],
+                    axis=-1)                                  # (P, C, 3)
+    recv = jax.lax.all_to_all(req, axis, 0, 0)                # (P, C, 3)
 
-    neighbor, eptr, pvalid = _owner_sample(g, key_hop, recv, k,
-                                           with_replacement)
+    neighbor, eptr, pvalid, new_state = _owner_sample(
+        g, key_hop, recv, k, with_replacement, weighted, filter_cfg, window)
 
     back = jax.lax.all_to_all(
-        jnp.concatenate([neighbor, eptr, pvalid.astype(jnp.int32)], axis=-1),
-        axis, 0, 0)                                           # (P, C, 3k)
-    mine = back[owner, jnp.where(ok, rank, 0)]                # (L, 3k)
+        jnp.concatenate([neighbor, eptr, pvalid.astype(jnp.int32),
+                         new_state], axis=-1),
+        axis, 0, 0)                                           # (P, C, 4k)
+    mine = back[owner, jnp.where(ok, rank, 0)]                # (L, 4k)
     neighbor = mine[:, :k]
     eptr = mine[:, k: 2 * k]
-    valid = (mine[:, 2 * k:] != 0) & ok[:, None]
+    valid = (mine[:, 2 * k: 3 * k] != 0) & ok[:, None]
+    new_state = mine[:, 3 * k:]
     overflow = (~ok & fvalid).sum()
-    return neighbor, eptr, valid, overflow
+    return neighbor, eptr, valid, new_state, overflow
 
 
 def _dist_sample_device(key, graph_shard, seeds_local, *, dev,
                         fanouts: Tuple[int, ...], axis: str, num_parts: int,
                         total_seeds: int, capacity_factor: float,
-                        with_replacement: bool):
+                        with_replacement: bool, weighted: bool = False,
+                        filter_static=None, seed_state=None,
+                        window: int = 256):
     """Multi-hop distributed sampling for one device's seed shard.
 
     Mirrors ``_sample_neighbors_impl``'s slot arithmetic; draws are keyed by
@@ -287,14 +484,21 @@ def _dist_sample_device(key, graph_shard, seeds_local, *, dev,
     node_base, edge_base = _layer_layout(B0, fanouts)
     gnode_base, _ = _layer_layout(total_seeds, fanouts)
 
+    filter_cfg = None
+    if filter_static is not None:
+        w, fwd, mode = filter_static
+        filter_cfg = TemporalEdgeFilter(window=w, forward=fwd, mode=mode)
+
     nodes = [seeds_local.astype(jnp.int32)]
     valids = [jnp.ones((B0,), jnp.bool_)]
+    states = [jnp.zeros((B0,), jnp.int32) if seed_state is None
+              else seed_state.astype(jnp.int32)]
     rows, cols, eptrs, evalids = [], [], [], []
     overflow = jnp.zeros((), jnp.int32)
 
     L = B0          # per-device frontier size at the current hop
     for ell, k in enumerate(fanouts):
-        frontier, fvalid = nodes[ell], valids[ell]
+        frontier, fvalid, fstate = nodes[ell], valids[ell], states[ell]
         # global slot uid of each frontier occurrence (device-count
         # independent: dev * L + i is the node's index within the global
         # layer because the seed batch is split contiguously)
@@ -304,10 +508,11 @@ def _dist_sample_device(key, graph_shard, seeds_local, *, dev,
         capacity = max(1, min(int(np.ceil(capacity_factor * L / num_parts)),
                               L))
         hop_key = rng.fold(key, ell)
-        neighbor, eptr, valid, ovf = _exchange_hop(
-            hop_key, graph_shard, frontier, fvalid, fuid, k,
+        neighbor, eptr, valid, new_state, ovf = _exchange_hop(
+            hop_key, graph_shard, frontier, fvalid, fuid, fstate, k,
             axis=axis, num_parts=num_parts, capacity=capacity,
-            with_replacement=with_replacement)
+            with_replacement=with_replacement, weighted=weighted,
+            filter_cfg=filter_cfg, window=window)
         overflow = overflow + ovf
 
         slot = node_base[ell + 1] + (
@@ -316,17 +521,17 @@ def _dist_sample_device(key, graph_shard, seeds_local, *, dev,
         col = node_base[ell] + jnp.arange(L, dtype=jnp.int32)[:, None]
         nodes.append(neighbor.reshape(-1))
         valids.append(valid.reshape(-1))
+        states.append(new_state.reshape(-1))
         rows.append(slot.reshape(-1))
         cols.append(jnp.broadcast_to(col, (L, k)).reshape(-1))
         eptrs.append(eptr.reshape(-1))
         evalids.append(valid.reshape(-1))
         L = L * k
 
-    all_nodes = jnp.concatenate(nodes)
     sample = NeighborSample(
-        nodes=all_nodes,
+        nodes=jnp.concatenate(nodes),
         node_valid=jnp.concatenate(valids),
-        node_state=jnp.zeros_like(all_nodes),
+        node_state=jnp.concatenate(states),
         rows=jnp.concatenate(rows),
         cols=jnp.concatenate(cols),
         eptr=jnp.concatenate(eptrs),
@@ -338,36 +543,65 @@ def _dist_sample_device(key, graph_shard, seeds_local, *, dev,
 def dist_sample_neighbors(key, graph: PartitionedGraph, seeds, fanouts,
                           mesh: Mesh, *, axis: str = "data",
                           with_replacement: bool = False,
-                          capacity_factor: float = 1.3):
+                          weighted: bool = False,
+                          filter: Optional[tuple] = None,
+                          capacity_factor: float = 1.3,
+                          window: int = 256):
     """Distributed multi-hop neighbor sampling (public / test entry point).
 
     ``seeds (B,)`` is the GLOBAL seed batch (B divisible by mesh size); the
     result's arrays carry a leading device axis: ``nodes (P, L)`` etc., where
     device d's block is the sample tree of seeds ``[d*B/P, (d+1)*B/P)``.
     Concatenating blocks per layer reproduces the P=1 layout bit-exactly.
+
+    ``weighted=True`` samples proportional to the edge weights given to
+    :func:`build_partitioned_graph` (Gumbel-top-k, the same law as the
+    single-device WeightedEdgeSampler path).  ``filter`` is
+    ``((lo, hi), forward, mode)`` + optional per-seed initial state as
+    ``(filter_static, seed_state (B,))`` — the 3-mode TemporalEdgeFilter of
+    the reference, evaluated by the OWNER against its local timestamps with
+    the per-path state carried inside the request payload.
     """
     Pn = int(mesh.shape[axis])
     fanouts = tuple(int(k) for k in fanouts)
     seeds = jnp.asarray(seeds)
     B = seeds.shape[0]
     assert B % Pn == 0, "global seed batch must divide the mesh axis"
+    if weighted:
+        assert graph.llogw is not None, \
+            "weighted sampling needs edge_weights at build_partitioned_graph"
+    filter_static = None
+    seed_state = None
+    if filter is not None:
+        filter_static, seed_state = filter
+        filter_static = (tuple(int(v) for v in filter_static[0]),
+                         bool(filter_static[1]), int(filter_static[2]))
+        assert graph.lts is not None, \
+            "temporal filter needs edge_timestamps at build_partitioned_graph"
+        seed_state = (jnp.zeros((B,), jnp.int32) if seed_state is None
+                      else jnp.asarray(seed_state, dtype=jnp.int32))
+    if seed_state is None:
+        seed_state = jnp.zeros((B,), jnp.int32)
 
     @functools.partial(
-        shard_map, mesh=mesh, in_specs=(P(), P(axis), P(axis)),
+        shard_map, mesh=mesh, in_specs=(P(), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(axis)))
-    def run(key, gshard, seeds_local):
+    def run(key, gshard, seeds_local, state_local):
         dev = jax.lax.axis_index(axis)
         sample, ovf = _dist_sample_device(
             key, gshard, seeds_local, dev=dev, fanouts=fanouts, axis=axis,
             num_parts=Pn, total_seeds=B, capacity_factor=capacity_factor,
-            with_replacement=with_replacement)
+            with_replacement=with_replacement, weighted=weighted,
+            filter_static=filter_static, seed_state=state_local,
+            window=window)
         add_dev = lambda a: a[None]
         return jax.tree_util.tree_map(add_dev, sample), ovf[None]
 
     with mesh:
         gput = jax.device_put(graph, NamedSharding(mesh, P(axis)))
         sput = jax.device_put(seeds, NamedSharding(mesh, P(axis)))
-        return run(key, gput, sput)
+        st = jax.device_put(seed_state, NamedSharding(mesh, P(axis)))
+        return run(key, gput, sput, st)
 
 
 # ---------------------------------------------------------------------------

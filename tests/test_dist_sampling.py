@@ -185,3 +185,93 @@ def test_partitioned_trainer_karate():
         assert int(overflow) == 0
         loss, acc = eval_step(state, key, gput, xi, seeds, lab)
         assert float(acc) >= 0.85, (float(loss), float(acc))
+
+
+@pytest.mark.parametrize("ell_table", [True, False])
+def test_weighted_dist_sampling(karate_csc, ell_table):
+    """Weighted distributed sampling: a dominant-weight edge per node must
+    win k=1 draws; trees are device-count invariant.  ell_table=False covers
+    the chunked window engine (rows beyond the ELL width)."""
+    indptr, indices = karate_csc
+    E = indices.shape[0]
+    rng = np.random.default_rng(5)
+    # per dst row: one in-edge gets weight 1, the rest ~1e-25 (log gap ~58
+    # dwarfs Gumbel noise) -> k=1 must select the heavy edge
+    w = np.full((E,), 1e-25)
+    heavy = np.array([indptr[v] + rng.integers(indptr[v + 1] - indptr[v])
+                      for v in range(34) if indptr[v + 1] > indptr[v]])
+    w[heavy] = 1.0
+    seeds = np.arange(8, dtype=np.int32)
+    results = {}
+    for Pn in (1, 2, 4):
+        g = build_partitioned_graph(indptr, indices, Pn, edge_weights=w,
+                                    ell_table=ell_table)
+        sample, ovf = dist_sample_neighbors(
+            jax.random.key(2), g, seeds, (1, 1), _mesh(Pn), weighted=True,
+            capacity_factor=8.0)
+        assert int(np.asarray(ovf).sum()) == 0
+        eptr = np.asarray(sample.eptr)
+        ev = np.asarray(sample.edge_valid)
+        assert np.all(np.isin(eptr[ev], heavy)), "non-heavy edge sampled"
+        # reassemble global per-layer edge blocks using THIS mesh's layout
+        eb = sample.edge_base
+        masked = np.where(ev, eptr, -1)
+        results[Pn] = np.concatenate([
+            np.concatenate([masked[d][eb[l]: eb[l + 1]]
+                            for d in range(Pn)])
+            for l in range(len(eb) - 1)])
+    for Pn in (2, 4):
+        np.testing.assert_array_equal(results[1], results[Pn])
+
+
+@pytest.mark.parametrize("ell_table", [True, False])
+def test_temporal_dist_sampling(karate_csc, ell_table):
+    """STATIC temporal filter: only in-window edges are sampled; with
+    k >= degree, EXACTLY the admissible edges are returned.  DYNAMIC mode
+    carries the sampled edge timestamp as the child state."""
+    from tch_geometric_tpu.utils.config import (TEMPORAL_SAMPLE_DYNAMIC,
+                                                TEMPORAL_SAMPLE_STATIC)
+    indptr, indices = karate_csc
+    E = indices.shape[0]
+    rng = np.random.default_rng(9)
+    ts = rng.integers(0, 100, E).astype(np.int64)
+    seeds = np.arange(8, dtype=np.int32)
+    Pn = 4
+    g = build_partitioned_graph(indptr, indices, Pn, edge_timestamps=ts,
+                                ell_table=ell_table)
+
+    k = 20
+    sample, ovf = dist_sample_neighbors(
+        jax.random.key(4), g, seeds, (k,), _mesh(Pn),
+        filter=(((0, 50), True, TEMPORAL_SAMPLE_STATIC), None),
+        capacity_factor=8.0)
+    assert int(np.asarray(ovf).sum()) == 0
+    eptr = np.asarray(sample.eptr)
+    ev = np.asarray(sample.edge_valid)
+    assert np.all((ts[eptr[ev]] >= 0) & (ts[eptr[ev]] <= 50))
+    # exactness: k >= deg -> every admissible in-edge appears exactly once
+    B0 = 8 // Pn
+    for d in range(Pn):
+        for i in range(B0):
+            v = seeds[d * B0 + i]
+            sl = slice(B0 * 1 + 0, None)  # edges of hop 0 are all edges
+            got = eptr[d][i * k: (i + 1) * k]
+            ok = ev[d][i * k: (i + 1) * k]
+            admissible = np.arange(indptr[v], indptr[v + 1])
+            admissible = admissible[(ts[admissible] >= 0)
+                                    & (ts[admissible] <= 50)]
+            np.testing.assert_array_equal(np.sort(got[ok]), admissible)
+
+    # DYNAMIC: child state == sampled edge timestamp
+    sample, _ = dist_sample_neighbors(
+        jax.random.key(4), g, seeds, (4, 3), _mesh(Pn),
+        filter=(((-100, 100), True, TEMPORAL_SAMPLE_DYNAMIC), None),
+        capacity_factor=8.0)
+    nodes_state = np.asarray(sample.node_state)
+    eptr = np.asarray(sample.eptr)
+    rows = np.asarray(sample.rows)
+    ev = np.asarray(sample.edge_valid)
+    for d in range(Pn):
+        for r, e, ok in zip(rows[d], eptr[d], ev[d]):
+            if ok:
+                assert nodes_state[d][r] == ts[e]
