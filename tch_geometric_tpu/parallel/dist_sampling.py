@@ -192,24 +192,32 @@ def _route_to_owners(owner, valid, num_parts: int, capacity: int):
     returns ``(rank, ok, scatter)`` where ``scatter(payload (L,)) -> (P, C)``
     places payloads in their routed slots and ``ok`` marks requests that won
     a slot.  Mirrors halo_gather's scheme so diagnostics mean the same thing.
+
+    Everything is sorts + gathers — NO scatter ops: XLA:TPU lowers a scatter
+    whose indices may collide to a SERIAL per-element loop, which at sample-
+    tree sizes costs seconds per step (measured; the original `.at[].set` /
+    `bincount` formulation made the products-scale partitioned step 2.07 s).
+    The inverse permutation is ``argsort(order)`` and segment starts come
+    from ``searchsorted`` on the sorted owner keys.
     """
     L = owner.shape[0]
-    sort_key = owner + jnp.where(valid, 0, num_parts)
+    sort_key = jnp.where(valid, owner, num_parts).astype(jnp.int32)
     order = jnp.argsort(sort_key, stable=True)
-    sorted_owner = owner[order]
-    cnt = jnp.bincount(jnp.where(valid, owner, num_parts),
-                       length=num_parts + 1)[:num_parts]
-    start = jnp.concatenate([jnp.zeros((1,), cnt.dtype),
-                             jnp.cumsum(cnt)[:-1]])
-    pos = jnp.arange(L, dtype=jnp.int32)
-    inv = jnp.zeros((L,), jnp.int32).at[order].set(pos)
-    rank = inv - start[jnp.clip(owner, 0, num_parts - 1)].astype(jnp.int32)
+    inv = jnp.argsort(order)                 # inverse permutation, no scatter
+    sk = sort_key[order]
+    bounds = jnp.searchsorted(
+        sk, jnp.arange(num_parts + 1, dtype=sk.dtype)).astype(jnp.int32)
+    start = bounds[:num_parts]
+    rank = inv.astype(jnp.int32) - start[jnp.clip(owner, 0, num_parts - 1)]
     ok = (rank < capacity) & valid
 
     def scatter(payload):
-        col = jnp.where(ok, rank, capacity)
-        out = jnp.zeros((num_parts, capacity), payload.dtype)
-        return out.at[owner, col].set(payload, mode="drop")
+        ps = payload[order]
+        c = jnp.arange(capacity, dtype=jnp.int32)
+        idx = start[:, None] + c[None, :]                  # (P, C)
+        take = idx < bounds[1:][:, None]                   # within segment
+        return jnp.where(take, ps[jnp.clip(idx, 0, L - 1)],
+                         jnp.zeros((), payload.dtype))
 
     return rank, ok, scatter
 
@@ -563,6 +571,10 @@ def dist_sample_neighbors(key, graph: PartitionedGraph, seeds, fanouts,
     the per-path state carried inside the request payload.
     """
     Pn = int(mesh.shape[axis])
+    assert graph.num_parts == Pn, (
+        f"graph was partitioned for {graph.num_parts} devices but the mesh "
+        f"axis {axis!r} has {Pn} — rebuild with build_partitioned_graph(..., "
+        f"num_parts={Pn})")
     fanouts = tuple(int(k) for k in fanouts)
     seeds = jnp.asarray(seeds)
     B = seeds.shape[0]
@@ -583,6 +595,26 @@ def dist_sample_neighbors(key, graph: PartitionedGraph, seeds, fanouts,
     if seed_state is None:
         seed_state = jnp.zeros((B,), jnp.int32)
 
+    run = _dist_sampler_fn(mesh, axis, Pn, B, fanouts,
+                           bool(with_replacement), bool(weighted),
+                           filter_static, float(capacity_factor),
+                           int(window))
+    with mesh:
+        gput = jax.device_put(graph, NamedSharding(mesh, P(axis)))
+        sput = jax.device_put(seeds, NamedSharding(mesh, P(axis)))
+        st = jax.device_put(seed_state, NamedSharding(mesh, P(axis)))
+        return run(key, gput, sput, st)
+
+
+@functools.lru_cache(maxsize=64)
+def _dist_sampler_fn(mesh, axis, Pn, B, fanouts, with_replacement, weighted,
+                     filter_static, capacity_factor, window):
+    """Jitted + cached sampler program (one compile per static config).
+
+    Without the jit wrapper the shard_map body executes op-by-op, which over
+    a remote-device tunnel costs a round trip per primitive."""
+
+    @jax.jit
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(P(), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(axis)))
@@ -597,11 +629,7 @@ def dist_sample_neighbors(key, graph: PartitionedGraph, seeds, fanouts,
         add_dev = lambda a: a[None]
         return jax.tree_util.tree_map(add_dev, sample), ovf[None]
 
-    with mesh:
-        gput = jax.device_put(graph, NamedSharding(mesh, P(axis)))
-        sput = jax.device_put(seeds, NamedSharding(mesh, P(axis)))
-        st = jax.device_put(seed_state, NamedSharding(mesh, P(axis)))
-        return run(key, gput, sput, st)
+    return run
 
 
 # ---------------------------------------------------------------------------
@@ -633,6 +661,9 @@ def make_partitioned_trainer(
     num_parts = int(mesh.shape[axis])
 
     def _sample_and_gather(key, gshard, x_shard, seeds_local, dev):
+        assert gshard.num_parts == num_parts, (
+            f"graph partitioned for {gshard.num_parts} devices but the mesh "
+            f"axis has {num_parts}")
         total_seeds = seeds_local.shape[0] * num_parts
         sample, s_ovf = _dist_sample_device(
             key, gshard, seeds_local, dev=dev, fanouts=fanouts, axis=axis,

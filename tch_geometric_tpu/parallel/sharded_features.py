@@ -65,34 +65,20 @@ def halo_gather(x_shard: jax.Array, ids: jax.Array, *, axis: str,
     local = (ids // num_parts).astype(jnp.int32)
     if valid is None:
         valid = jnp.ones((L,), bool)
-    # sort invalid slots past every valid one so they take the top ranks,
-    # which are dropped first and never evict a valid request
-    sort_key = owner + jnp.where(valid, 0, num_parts)
-    order = jnp.argsort(sort_key, stable=True)
-    sorted_owner = owner[order]
-    sorted_local = local[order]
-    cnt = jnp.bincount(jnp.where(valid, owner, num_parts),
-                       length=num_parts + 1)[:num_parts]
-    start = jnp.concatenate([jnp.zeros((1,), cnt.dtype),
-                             jnp.cumsum(cnt)[:-1]])
-    pos = jnp.arange(L, dtype=jnp.int32)
-    rank_sorted = pos - start[jnp.clip(sorted_owner, 0, num_parts - 1)] \
-        .astype(jnp.int32)
-    # out-of-capacity (or invalid) writes get an out-of-bounds column
-    # -> mode='drop'
-    ok_sorted = (rank_sorted < capacity) & valid[order]
-    col = jnp.where(ok_sorted, rank_sorted, capacity)
-    req = jnp.zeros((num_parts, capacity), jnp.int32)
-    req = req.at[sorted_owner, col].set(sorted_local, mode="drop")
+    # invalid slots sort past every valid one so they never consume
+    # capacity; routing is sorts + gathers only — NO scatter ops (XLA:TPU
+    # lowers possibly-colliding scatters to a serial loop; see
+    # dist_sampling._route_to_owners)
+    from .dist_sampling import _route_to_owners
+    rank_all, ok, scatter = _route_to_owners(owner, valid, num_parts,
+                                             capacity)
+    req = scatter(local)
 
     # route requests to owners; owners gather locally; route rows back
     peer_req = jax.lax.all_to_all(req, axis, 0, 0)        # (P, C) asked of me
     rows = x_shard[jnp.clip(peer_req, 0, x_shard.shape[0] - 1)]
     back = jax.lax.all_to_all(rows, axis, 0, 0)           # (P, C, F) mine
 
-    inv = jnp.zeros((L,), jnp.int32).at[order].set(pos)   # slot -> sorted pos
-    rank_all = inv - start[owner].astype(jnp.int32)
-    ok = (rank_all < capacity) & valid
     out = back[owner, jnp.where(ok, rank_all, 0)]
     out = jnp.where(ok[:, None], out, 0)
     return out, (~ok & valid).sum()
