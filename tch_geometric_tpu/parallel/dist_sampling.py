@@ -211,15 +211,53 @@ def _route_to_owners(owner, valid, num_parts: int, capacity: int):
     rank = inv.astype(jnp.int32) - start[jnp.clip(owner, 0, num_parts - 1)]
     ok = (rank < capacity) & valid
 
-    def scatter(payload):
+    def scatter(payload, rnd: int = 0):
+        """Place payloads routed in round ``rnd`` (ranks in
+        ``[rnd*capacity, (rnd+1)*capacity)``) into their (P, C) slots."""
         ps = payload[order]
         c = jnp.arange(capacity, dtype=jnp.int32)
-        idx = start[:, None] + c[None, :]                  # (P, C)
-        take = idx < bounds[1:][:, None]                   # within segment
+        idx = start[:, None] + rnd * capacity + c[None, :]  # (P, C)
+        take = idx < bounds[1:][:, None]                    # within segment
         return jnp.where(take, ps[jnp.clip(idx, 0, L - 1)],
                          jnp.zeros((), payload.dtype))
 
     return rank, ok, scatter
+
+
+def exchange_rounds(payload, owner, valid, owner_fn, *, axis: str,
+                    num_parts: int, capacity: int, num_rounds: int = 1,
+                    ret_cols: int = 1):
+    """Generic owner-routed request/response exchange with overflow retries.
+
+    ``payload (L, Q) int32``: per-request columns shipped to the owner.
+    ``owner_fn(recv (P, C, Q)) -> (P, C, ret_cols) int32`` runs owner-side.
+    Requests whose per-owner rank exceeds ``capacity`` are retried in later
+    rounds (each round is one request+response ``all_to_all`` pair) — round
+    ``r`` carries ranks ``[r*C, (r+1)*C)``.  Because every consumer keys its
+    draws by the request's *uid* (not its slot), results are independent of
+    which round carried the request, so multi-round routing preserves the
+    device-count-invariance of the sampled trees.
+
+    Returns ``(result (L, ret_cols) int32, got (L,) bool, overflow scalar)``
+    where ``overflow`` counts valid requests no round could carry.
+    """
+    L, Q = payload.shape
+    rank, _ok, scatter = _route_to_owners(owner, valid, num_parts, capacity)
+    out = jnp.zeros((L, ret_cols), jnp.int32)
+    got = jnp.zeros((L,), jnp.bool_)
+    for rnd in range(num_rounds):
+        in_round = (rank >= rnd * capacity) & (rank < (rnd + 1) * capacity) \
+            & valid
+        req = jnp.stack([scatter(payload[:, q], rnd) for q in range(Q)],
+                        axis=-1)                              # (P, C, Q)
+        recv = jax.lax.all_to_all(req, axis, 0, 0)
+        res = owner_fn(recv)                                  # (P, C, R)
+        back = jax.lax.all_to_all(res, axis, 0, 0)
+        mine = back[owner, jnp.where(in_round, rank - rnd * capacity, 0)]
+        out = jnp.where(in_round[:, None], mine, out)
+        got = jnp.logical_or(got, in_round)
+    overflow = (valid & ~got).sum()
+    return out, got, overflow
 
 
 def _uid_keys(key_hop, uids):
@@ -442,37 +480,37 @@ def _owner_sample(g: PartitionedGraph, key_hop, recv, k: int,
 def _exchange_hop(key_hop, graph_shard, frontier, fvalid, fuid, fstate,
                   k: int, *, axis: str, num_parts: int, capacity: int,
                   with_replacement: bool, weighted: bool, filter_cfg,
-                  window: int):
+                  window: int, num_rounds: int = 1):
     """One distributed hop: route -> owner-sample -> route back.
 
     All inputs/outputs are per-device (INSIDE shard_map).  Returns
     ``(neighbor (L,k), eptr (L,k), valid (L,k), new_state (L,k),
-    overflow scalar)``.
+    overflow scalar)``.  ``num_rounds > 1`` retries capacity-overflowed
+    requests in further all_to_all rounds (draws stay bit-identical — the
+    uid keying is round-independent), so skewed frontiers lose samples only
+    past ``num_rounds * capacity`` per owner, and that loss is counted.
     """
     g = graph_shard
     gid = jnp.clip(frontier, 0, max(g.num_nodes - 1, 0))
     owner = (gid % num_parts).astype(jnp.int32)
     local = (gid // num_parts).astype(jnp.int32)
 
-    rank, ok, scatter = _route_to_owners(owner, fvalid, num_parts, capacity)
-    req = jnp.stack([scatter(local), scatter(fuid.astype(jnp.int32)),
-                     scatter(fstate.astype(jnp.int32))],
-                    axis=-1)                                  # (P, C, 3)
-    recv = jax.lax.all_to_all(req, axis, 0, 0)                # (P, C, 3)
+    def owner_fn(recv):
+        neighbor, eptr, pvalid, new_state = _owner_sample(
+            g, key_hop, recv, k, with_replacement, weighted, filter_cfg,
+            window)
+        return jnp.concatenate([neighbor, eptr, pvalid.astype(jnp.int32),
+                                new_state], axis=-1)          # (P, C, 4k)
 
-    neighbor, eptr, pvalid, new_state = _owner_sample(
-        g, key_hop, recv, k, with_replacement, weighted, filter_cfg, window)
-
-    back = jax.lax.all_to_all(
-        jnp.concatenate([neighbor, eptr, pvalid.astype(jnp.int32),
-                         new_state], axis=-1),
-        axis, 0, 0)                                           # (P, C, 4k)
-    mine = back[owner, jnp.where(ok, rank, 0)]                # (L, 4k)
+    payload = jnp.stack([local, fuid.astype(jnp.int32),
+                         fstate.astype(jnp.int32)], axis=-1)  # (L, 3)
+    mine, got, overflow = exchange_rounds(
+        payload, owner, fvalid, owner_fn, axis=axis, num_parts=num_parts,
+        capacity=capacity, num_rounds=num_rounds, ret_cols=4 * k)
     neighbor = mine[:, :k]
     eptr = mine[:, k: 2 * k]
-    valid = (mine[:, 2 * k: 3 * k] != 0) & ok[:, None]
+    valid = (mine[:, 2 * k: 3 * k] != 0) & got[:, None]
     new_state = mine[:, 3 * k:]
-    overflow = (~ok & fvalid).sum()
     return neighbor, eptr, valid, new_state, overflow
 
 
@@ -481,7 +519,7 @@ def _dist_sample_device(key, graph_shard, seeds_local, *, dev,
                         total_seeds: int, capacity_factor: float,
                         with_replacement: bool, weighted: bool = False,
                         filter_static=None, seed_state=None,
-                        window: int = 256):
+                        window: int = 256, num_rounds: int = 1):
     """Multi-hop distributed sampling for one device's seed shard.
 
     Mirrors ``_sample_neighbors_impl``'s slot arithmetic; draws are keyed by
@@ -520,7 +558,7 @@ def _dist_sample_device(key, graph_shard, seeds_local, *, dev,
             hop_key, graph_shard, frontier, fvalid, fuid, fstate, k,
             axis=axis, num_parts=num_parts, capacity=capacity,
             with_replacement=with_replacement, weighted=weighted,
-            filter_cfg=filter_cfg, window=window)
+            filter_cfg=filter_cfg, window=window, num_rounds=num_rounds)
         overflow = overflow + ovf
 
         slot = node_base[ell + 1] + (
@@ -554,7 +592,7 @@ def dist_sample_neighbors(key, graph: PartitionedGraph, seeds, fanouts,
                           weighted: bool = False,
                           filter: Optional[tuple] = None,
                           capacity_factor: float = 1.3,
-                          window: int = 256):
+                          window: int = 256, num_rounds: int = 1):
     """Distributed multi-hop neighbor sampling (public / test entry point).
 
     ``seeds (B,)`` is the GLOBAL seed batch (B divisible by mesh size); the
@@ -598,7 +636,7 @@ def dist_sample_neighbors(key, graph: PartitionedGraph, seeds, fanouts,
     run = _dist_sampler_fn(mesh, axis, Pn, B, fanouts,
                            bool(with_replacement), bool(weighted),
                            filter_static, float(capacity_factor),
-                           int(window))
+                           int(window), int(num_rounds))
     with mesh:
         gput = jax.device_put(graph, NamedSharding(mesh, P(axis)))
         sput = jax.device_put(seeds, NamedSharding(mesh, P(axis)))
@@ -608,7 +646,7 @@ def dist_sample_neighbors(key, graph: PartitionedGraph, seeds, fanouts,
 
 @functools.lru_cache(maxsize=64)
 def _dist_sampler_fn(mesh, axis, Pn, B, fanouts, with_replacement, weighted,
-                     filter_static, capacity_factor, window):
+                     filter_static, capacity_factor, window, num_rounds=1):
     """Jitted + cached sampler program (one compile per static config).
 
     Without the jit wrapper the shard_map body executes op-by-op, which over
@@ -625,7 +663,7 @@ def _dist_sampler_fn(mesh, axis, Pn, B, fanouts, with_replacement, weighted,
             num_parts=Pn, total_seeds=B, capacity_factor=capacity_factor,
             with_replacement=with_replacement, weighted=weighted,
             filter_static=filter_static, seed_state=state_local,
-            window=window)
+            window=window, num_rounds=num_rounds)
         add_dev = lambda a: a[None]
         return jax.tree_util.tree_map(add_dev, sample), ovf[None]
 
@@ -645,6 +683,7 @@ def make_partitioned_trainer(
     learning_rate: float = 1e-2,
     with_replacement: bool = False,
     capacity_factor: float = 1.3,
+    num_rounds: int = 1,
 ):
     """Sampled-training closures where NOTHING graph-sized is replicated:
     adjacency shards via :class:`PartitionedGraph`, features interleave-shard
@@ -669,14 +708,15 @@ def make_partitioned_trainer(
             key, gshard, seeds_local, dev=dev, fanouts=fanouts, axis=axis,
             num_parts=num_parts, total_seeds=total_seeds,
             capacity_factor=capacity_factor,
-            with_replacement=with_replacement)
+            with_replacement=with_replacement, num_rounds=num_rounds)
         n_rows = x_shard.shape[0] * num_parts
         ids = jnp.clip(sample.nodes, 0, n_rows - 1)
         capacity = int(np.ceil(capacity_factor * ids.shape[0] / num_parts))
         capacity = min(capacity, ids.shape[0])
         x, f_ovf = halo_gather(x_shard, ids, axis=axis,
                                num_parts=num_parts, capacity=capacity,
-                               valid=sample.node_valid)
+                               valid=sample.node_valid,
+                               num_rounds=num_rounds)
         return sample, x, (s_ovf, f_ovf)
 
     def _loss(params, key, gshard, x_shard, seeds_local, labels_local,

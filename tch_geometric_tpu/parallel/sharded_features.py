@@ -51,13 +51,18 @@ def build_interleaved_features(x: np.ndarray, num_parts: int) -> np.ndarray:
 
 
 def halo_gather(x_shard: jax.Array, ids: jax.Array, *, axis: str,
-                num_parts: int, capacity: int, valid=None):
+                num_parts: int, capacity: int, valid=None,
+                num_rounds: int = 1):
     """Fetch rows of the interleaved-sharded table (INSIDE shard_map).
 
     x_shard: (Np, F) this device's shard; ids: (L,) global node ids;
     ``valid``: optional (L,) bool — invalid slots never consume per-owner
     request capacity (they get zero rows) and are excluded from the
     overflow count, so the diagnostic reports only REAL feature loss.
+    ``num_rounds > 1`` retries requests whose per-owner rank overflowed
+    ``capacity`` in further all_to_all rounds (round ``r`` carries ranks
+    ``[r*capacity, (r+1)*capacity)``) so frontiers concentrated on few
+    owners — power-law hubs — lose rows only past ``num_rounds*capacity``.
     Returns ((L, F) rows, overflow_count).
     """
     L = ids.shape[0]
@@ -70,18 +75,23 @@ def halo_gather(x_shard: jax.Array, ids: jax.Array, *, axis: str,
     # lowers possibly-colliding scatters to a serial loop; see
     # dist_sampling._route_to_owners)
     from .dist_sampling import _route_to_owners
-    rank_all, ok, scatter = _route_to_owners(owner, valid, num_parts,
-                                             capacity)
-    req = scatter(local)
-
-    # route requests to owners; owners gather locally; route rows back
-    peer_req = jax.lax.all_to_all(req, axis, 0, 0)        # (P, C) asked of me
-    rows = x_shard[jnp.clip(peer_req, 0, x_shard.shape[0] - 1)]
-    back = jax.lax.all_to_all(rows, axis, 0, 0)           # (P, C, F) mine
-
-    out = back[owner, jnp.where(ok, rank_all, 0)]
-    out = jnp.where(ok[:, None], out, 0)
-    return out, (~ok & valid).sum()
+    rank_all, _ok, scatter = _route_to_owners(owner, valid, num_parts,
+                                              capacity)
+    out = jnp.zeros((L, x_shard.shape[-1]), x_shard.dtype)
+    got = jnp.zeros((L,), bool)
+    for rnd in range(num_rounds):
+        in_round = ((rank_all >= rnd * capacity)
+                    & (rank_all < (rnd + 1) * capacity) & valid)
+        req = scatter(local, rnd)
+        # route requests to owners; owners gather locally; rows route back
+        peer_req = jax.lax.all_to_all(req, axis, 0, 0)    # (P, C) asked of me
+        rows = x_shard[jnp.clip(peer_req, 0, x_shard.shape[0] - 1)]
+        back = jax.lax.all_to_all(rows, axis, 0, 0)       # (P, C, F) mine
+        mine = back[owner, jnp.where(in_round, rank_all - rnd * capacity, 0)]
+        out = jnp.where(in_round[:, None], mine, out)
+        got = jnp.logical_or(got, in_round)
+    out = jnp.where(got[:, None], out, 0)
+    return out, (~got & valid).sum()
 
 
 def make_sharded_feature_trainer(

@@ -157,6 +157,79 @@ def test_overflow_diagnostic(karate_csc):
     assert int(np.asarray(ovf).sum()) > 0
 
 
+def test_multi_round_routing_skewed_frontier(karate_csc):
+    """A frontier concentrated on ONE owner (every seed is the same hub —
+    the power-law worst case) overflows a tight single-round capacity but
+    loses NOTHING with retry rounds, and the retried tree is bit-identical
+    to the P=1 tree (draws are uid-keyed, round-independent)."""
+    indptr, indices = karate_csc
+    hub = int(np.argmax(np.diff(indptr)))          # highest-degree node
+    seeds = np.full((8,), hub, dtype=np.int32)
+    key = jax.random.key(11)
+
+    # single tight round: capacity ceil(0.5 * 2 / 4) = 1 < 2 requests/owner
+    g4 = build_partitioned_graph(indptr, indices, 4)
+    _, ovf1 = dist_sample_neighbors(key, g4, seeds, (4, 3), _mesh(4),
+                                    capacity_factor=0.5, num_rounds=1)
+    assert int(np.asarray(ovf1).sum()) > 0
+
+    results = {}
+    for Pn in (1, 2, 4):
+        g = build_partitioned_graph(indptr, indices, Pn)
+        sample, ovf = dist_sample_neighbors(
+            key, g, seeds, (4, 3), _mesh(Pn),
+            capacity_factor=0.5, num_rounds=16)
+        assert int(np.asarray(ovf).sum()) == 0, f"loss at P={Pn} with retries"
+        n = _layers(sample, list(np.asarray(sample.nodes)))
+        v = _layers(sample, list(np.asarray(sample.node_valid)))
+        results[Pn] = (np.where(v, n, -1), v)
+    for Pn in (2, 4):
+        np.testing.assert_array_equal(results[1][0], results[Pn][0])
+        np.testing.assert_array_equal(results[1][1], results[Pn][1])
+
+
+def test_halo_gather_multi_round():
+    """halo_gather with every request aimed at owner 0: a tight capacity
+    drops rows in one round, retry rounds recover every row exactly."""
+    import functools
+    from jax import shard_map
+    from tch_geometric_tpu.parallel.sharded_features import halo_gather
+
+    Pn, Np, F = 4, 8, 16
+    mesh = _mesh(Pn)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(Pn * Np, F)).astype(np.float32)
+    # global ids owned by device 0 only: ids % 4 == 0
+    ids = (4 * rng.integers(0, Np, size=(Pn, 6))).astype(np.int32)
+
+    def run(num_rounds):
+        @functools.partial(
+            shard_map, mesh=mesh, in_specs=(P("data"), P("data")),
+            out_specs=(P("data"), P("data")))
+        def f(x_shard, ids_local):
+            out, ovf = halo_gather(x_shard, ids_local[0], axis="data",
+                                   num_parts=Pn, capacity=2,
+                                   num_rounds=num_rounds)
+            return out[None], ovf[None]
+        with mesh:
+            xs = jax.device_put(
+                x, NamedSharding(mesh, P("data")))
+            il = jax.device_put(ids, NamedSharding(mesh, P("data")))
+            return f(xs, il)
+
+    out1, ovf1 = run(1)
+    assert int(np.asarray(ovf1).sum()) > 0          # 6 requests > capacity 2
+    out3, ovf3 = run(3)                              # 3 * 2 covers all 6
+    assert int(np.asarray(ovf3).sum()) == 0
+    # interleaved table: global row g lives at shard (g % P), local g // P
+    # -> x was built dense, so expected row of global id g is x[...]
+    for d in range(Pn):
+        for j, gid in enumerate(ids[d]):
+            owner, local = gid % Pn, gid // Pn
+            np.testing.assert_allclose(np.asarray(out3)[d, j],
+                                       x[owner * Np + local])
+
+
 def test_partitioned_trainer_karate():
     x_np, y, edge_index = load_karate_graph()
     col_ptrs, row_indices, _perm = to_csc(np.asarray(edge_index), 34)
