@@ -1,0 +1,136 @@
+"""Distributed budget sampling over a partitioned topology (dist_budget).
+
+Pins device-count invariance (P=1 == P=2 == P=4 bit-identical trees), the
+reference's budget invariants (every sampled edge exists; per-node output
+bounded by fanout; <=50-candidate cap), and temporal-filter admissibility
+(budget_sampling.rs:13-38 runtime filter)."""
+import numpy as np
+import jax
+import pytest
+from jax.sharding import Mesh
+
+from tch_geometric_tpu.data.io import load_karate_graph
+from tch_geometric_tpu.data.storage import to_csc
+from tch_geometric_tpu.parallel.dist_budget import dist_budget_sample
+from tch_geometric_tpu.parallel.dist_sampling import build_partitioned_graph
+from tch_geometric_tpu.utils.types import NAN_TIMESTAMP
+
+
+def _mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), ("data",))
+
+
+@pytest.fixture(scope="module")
+def karate_csc():
+    _x, _y, edge_index = load_karate_graph()
+    col_ptrs, row_indices, _perm = to_csc(np.asarray(edge_index), 34)
+    return np.asarray(col_ptrs), np.asarray(row_indices)
+
+
+def _layers(sample, arrays_by_dev):
+    out = []
+    nb = sample.node_base
+    for l in range(len(nb) - 1):
+        out.append(np.concatenate(
+            [a[nb[l]: nb[l + 1]] for a in arrays_by_dev]))
+    return np.concatenate(out)
+
+
+@pytest.mark.parametrize("ell_table", [True, False])
+def test_budget_device_count_invariance(karate_csc, ell_table):
+    indptr, indices = karate_csc
+    seeds = np.arange(8, dtype=np.int32)
+    key = jax.random.key(13)
+    results = {}
+    for Pn in (1, 2, 4):
+        g = build_partitioned_graph(indptr, indices, Pn, ell_table=ell_table)
+        sample, ovf = dist_budget_sample(key, g, seeds, (4, 3), _mesh(Pn),
+                                         capacity_factor=8.0)
+        assert int(np.asarray(ovf).sum()) == 0
+        n = _layers(sample, list(np.asarray(sample.nodes)))
+        v = _layers(sample, list(np.asarray(sample.node_valid)))
+        results[Pn] = (np.where(v, n, -1), v)
+    for Pn in (2, 4):
+        np.testing.assert_array_equal(results[1][0], results[Pn][0])
+        np.testing.assert_array_equal(results[1][1], results[Pn][1])
+
+
+def test_budget_edges_exist_and_distinct(karate_csc):
+    """Budget invariants: sampled edges exist (eptr resolves in the dst's
+    CSC window to the src node) and a node's k draws are DISTINCT edges
+    (without-replacement selection from the candidate budget)."""
+    indptr, indices = karate_csc
+    Pn = 4
+    g = build_partitioned_graph(indptr, indices, Pn)
+    seeds = np.arange(8, dtype=np.int32)
+    sample, _ = dist_budget_sample(jax.random.key(1), g, seeds, (4, 3),
+                                   _mesh(Pn), capacity_factor=8.0)
+    nodes = np.asarray(sample.nodes)
+    rows = np.asarray(sample.rows)
+    cols = np.asarray(sample.cols)
+    eptr = np.asarray(sample.eptr)
+    ev = np.asarray(sample.edge_valid)
+    for d in range(Pn):
+        per_col = {}
+        for r, c, e, ok in zip(rows[d], cols[d], eptr[d], ev[d]):
+            if not ok:
+                continue
+            src, dst = nodes[d][r], nodes[d][c]
+            assert indptr[dst] <= e < indptr[dst + 1]
+            assert indices[e] == src
+            per_col.setdefault((c,), []).append(e)
+        for es in per_col.values():
+            assert len(es) == len(set(es)), "duplicate edge within a node"
+
+
+def test_budget_full_coverage_small_degree(karate_csc):
+    """k >= deg (and deg <= 50): every in-edge of the seed appears exactly
+    once — the budget holds the whole row and uniform top-k must exhaust."""
+    indptr, indices = karate_csc
+    Pn = 4
+    g = build_partitioned_graph(indptr, indices, Pn)
+    seeds = np.arange(32, dtype=np.int32)
+    k = 20
+    sample, _ = dist_budget_sample(jax.random.key(0), g, seeds, (k,),
+                                   _mesh(Pn), capacity_factor=8.0)
+    nodes = np.asarray(sample.nodes)
+    valid = np.asarray(sample.node_valid)
+    B0 = 32 // Pn
+    for d in range(Pn):
+        for i in range(B0):
+            v = seeds[d * B0 + i]
+            got = nodes[d][B0 + i * k: B0 + (i + 1) * k]
+            ok = valid[d][B0 + i * k: B0 + (i + 1) * k]
+            expect = np.sort(indices[indptr[v]: indptr[v + 1]])
+            np.testing.assert_array_equal(np.sort(got[ok]), expect)
+
+
+@pytest.mark.parametrize("relative", [False, True])
+def test_budget_temporal_filter(karate_csc, relative):
+    """Runtime filter: only candidates with delta in [lo, hi) survive; the
+    carried state is the edge ts (default) or frozen root ts (relative)."""
+    indptr, indices = karate_csc
+    E = indices.shape[0]
+    rng = np.random.default_rng(3)
+    ts = rng.integers(0, 100, E).astype(np.int64)
+    Pn = 4
+    g = build_partitioned_graph(indptr, indices, Pn, edge_timestamps=ts)
+    seeds = np.arange(8, dtype=np.int32)
+    seed_ts = np.full(8, 50, dtype=np.int32)
+    sample, ovf = dist_budget_sample(
+        jax.random.key(2), g, seeds, (20,), _mesh(Pn),
+        input_timestamps=seed_ts, window=(0, 30), forward=True,
+        relative=relative, capacity_factor=8.0)
+    assert int(np.asarray(ovf).sum()) == 0
+    eptr = np.asarray(sample.eptr)
+    ev = np.asarray(sample.edge_valid)
+    st = np.asarray(sample.node_state)
+    rows = np.asarray(sample.rows)
+    # forward filter: d = v_ts - state in [0, 30) -> v_ts in [50, 80)
+    got = ts[eptr[ev]]
+    assert np.all((got >= 50) & (got < 80))
+    for d in range(Pn):
+        for r, e, ok in zip(rows[d], eptr[d], ev[d]):
+            if ok:
+                expect = 50 if relative else ts[e]
+                assert st[d][r] == expect
