@@ -161,6 +161,49 @@ def main():
         f"gather floor at {E*256/dt_floor/1e9/bw_stream*100 if bw_stream else 0:.1f}%"
         f" of stream bandwidth")
 
+    # ---- I. engine parallelism: two independent half-gathers ------------
+    def chain_gather2(x, idx):
+        n = x.shape[0]
+        h = idx.shape[0] // 2
+        i1, i2 = idx[:h], idx[h:]
+
+        def body(c, _):
+            shift = jnp.int32(jnp.abs(c)) % n
+            s = x[(i1 + shift) % n].sum() + x[(i2 + shift + 1) % n].sum()
+            return s.astype(jnp.float32), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
+        return c
+
+    dt2, _ = timed(chain_gather2, xb, idx)
+    log(f"I two half-gathers   : {dt2*1e3:7.2f} ms  {E/dt2/1e6:7.1f} Macc/s "
+        f"(parallel engines iff >> B)")
+
+    # ---- J/K. table-size scaling: small tables + hot-prefix --------------
+    for nbits, tag in ((14, "J 4MB table"), (16, "16MB table"),
+                       (17, "32MB table")):
+        nn = 1 << nbits
+        xs = jnp.asarray(rng.normal(size=(nn, F)).astype(np.float32)
+                         ).astype(jnp.bfloat16)
+        idx_s = jnp.asarray(rng.integers(0, nn, E, dtype=np.int32))
+        dts, _ = timed(chain_gather, xs, idx_s)
+        log(f"{tag:21s}: {dts*1e3:7.2f} ms  {E/dts/1e6:7.1f} Macc/s  "
+            f"{E*256/dts/1e9:7.1f} GB/s")
+
+    # hot-prefix: 64MB table, 80% of accesses in the first 4MB
+    idx_hot = np.where(rng.random(E) < 0.8,
+                       rng.integers(0, 1 << 14, E),
+                       rng.integers(0, N, E)).astype(np.int32)
+    dth, _ = timed(chain_gather, xb, jnp.asarray(idx_hot))
+    log(f"K hot-prefix 80/4MB  : {dth*1e3:7.2f} ms  {E/dth/1e6:7.1f} Macc/s")
+
+    # ---- L. W=256 blocked layout (padding lever) -------------------------
+    g256 = build_blocked(indptr, src.astype(np.int32), rows_per_block=256)
+    T2, C2 = g256.edge_src.shape
+    log(f"W=256 layout: T={T2} C={C2} pad_ratio={T2*C2/E:.3f}")
+    dtl, _ = timed(spmm_chain, g256, x0)
+    log(f"L spmm W=256         : {dtl*1e3:7.2f} ms  {E/dtl/1e9:7.3f} Gedge/s")
+
 
 if __name__ == "__main__":
     main()

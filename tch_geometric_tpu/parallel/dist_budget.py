@@ -44,7 +44,9 @@ from ..utils.types import NAN_TIMESTAMP
 from .dist_sampling import (PartitionedGraph, _uid_floyd, _uid_keys,
                             _uid_uniform_lane_topk, exchange_rounds)
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # python literal: package import must not
+#   create device arrays (jax.distributed.initialize needs an
+#   uninitialised backend; see parallel/multihost.py)
 
 
 def _budget_filter(filter_static, w_t, v_t):
@@ -245,10 +247,11 @@ def dist_budget_sample(key, graph: PartitionedGraph, seeds, fanouts,
 
     run = _dist_budget_fn(mesh, axis, Pn, B, fanouts, filter_static,
                           float(capacity_factor), int(num_rounds))
+    from .multihost import put_partitioned
     with mesh:
-        sh = NamedSharding(mesh, P(axis))
-        return run(key, jax.device_put(graph, sh),
-                   jax.device_put(seeds, sh), jax.device_put(seed_ts, sh))
+        return run(key, put_partitioned(graph, mesh, P(axis)),
+                   put_partitioned(seeds, mesh, P(axis)),
+                   put_partitioned(seed_ts, mesh, P(axis)))
 
 
 @functools.lru_cache(maxsize=64)

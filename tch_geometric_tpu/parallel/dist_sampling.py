@@ -295,7 +295,9 @@ def _uid_replacement(keys, deg, k: int):
     return jnp.where(valid, pos, 0), valid
 
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # python literal: package import must not
+#   create device arrays (jax.distributed.initialize needs an
+#   uninitialised backend; see parallel/multihost.py)
 
 
 def _uid_gumbel_topk(keys, logits, k: int):
@@ -637,10 +639,11 @@ def dist_sample_neighbors(key, graph: PartitionedGraph, seeds, fanouts,
                            bool(with_replacement), bool(weighted),
                            filter_static, float(capacity_factor),
                            int(window), int(num_rounds))
+    from .multihost import put_partitioned
     with mesh:
-        gput = jax.device_put(graph, NamedSharding(mesh, P(axis)))
-        sput = jax.device_put(seeds, NamedSharding(mesh, P(axis)))
-        st = jax.device_put(seed_state, NamedSharding(mesh, P(axis)))
+        gput = put_partitioned(graph, mesh, P(axis))
+        sput = put_partitioned(seeds, mesh, P(axis))
+        st = put_partitioned(seed_state, mesh, P(axis))
         return run(key, gput, sput, st)
 
 

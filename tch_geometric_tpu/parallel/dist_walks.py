@@ -50,7 +50,9 @@ from ..sampling.walks import (WALK_BIAS_EXPONENTIAL, WALK_BIAS_LINEAR,
 from ..utils.types import NAN_TIMESTAMP
 from .dist_sampling import PartitionedGraph, _uid_keys, exchange_rounds
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # python literal: package import must not
+#   create device arrays (jax.distributed.initialize needs an
+#   uninitialised backend; see parallel/multihost.py)
 
 
 def _vary(x, axis):
@@ -307,11 +309,11 @@ def dist_random_walk(key, graph: PartitionedGraph, start, walk_length: int,
     run = _dist_walk_fn(mesh, axis, Pn, "node2vec", int(walk_length),
                         int(num_trials), None, None, float(capacity_factor),
                         int(num_rounds), int(window))
+    from .multihost import put_partitioned
     with mesh:
-        gput = jax.device_put(graph, NamedSharding(mesh, P(axis)))
-        sput = jax.device_put(start, NamedSharding(mesh, P(axis)))
-        zeros = jax.device_put(jnp.zeros((B,), jnp.int32),
-                               NamedSharding(mesh, P(axis)))
+        gput = put_partitioned(graph, mesh, P(axis))
+        sput = put_partitioned(start, mesh, P(axis))
+        zeros = put_partitioned(jnp.zeros((B,), jnp.int32), mesh, P(axis))
         walks, _ts, ovf = run(key, gput, sput, zeros,
                               jnp.float32(p), jnp.float32(q))
         return walks, ovf
@@ -402,11 +404,12 @@ def dist_tempo_random_walk(key, graph: PartitionedGraph, start, start_ts,
     run = _dist_walk_fn(mesh, axis, Pn, "tempo", int(walk_length), 0,
                         (int(win[0]), int(win[1])), None,
                         float(capacity_factor), int(num_rounds), int(window))
+    from .multihost import put_partitioned
     with mesh:
-        sh = NamedSharding(mesh, P(axis))
-        return run(key, jax.device_put(graph, sh),
-                   jax.device_put(start, sh),
-                   jax.device_put(jnp.asarray(start_ts, jnp.int32), sh),
+        return run(key, put_partitioned(graph, mesh, P(axis)),
+                   put_partitioned(start, mesh, P(axis)),
+                   put_partitioned(jnp.asarray(start_ts, jnp.int32), mesh,
+                                   P(axis)),
                    jnp.float32(0), jnp.float32(0))
 
 
@@ -542,11 +545,12 @@ def dist_biased_tempo_random_walk(key, graph: PartitionedGraph, start,
                         int(walk_length), int(retry_count), None,
                         bool(forward), float(capacity_factor),
                         int(num_rounds), int(window))
+    from .multihost import put_partitioned
     with mesh:
-        sh = NamedSharding(mesh, P(axis))
-        return run(key, jax.device_put(graph, sh),
-                   jax.device_put(start, sh),
-                   jax.device_put(jnp.asarray(start_ts, jnp.int32), sh),
+        return run(key, put_partitioned(graph, mesh, P(axis)),
+                   put_partitioned(start, mesh, P(axis)),
+                   put_partitioned(jnp.asarray(start_ts, jnp.int32), mesh,
+                                   P(axis)),
                    jnp.float32(0), jnp.float32(0))
 
 

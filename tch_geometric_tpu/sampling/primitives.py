@@ -29,7 +29,9 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # python literal: package import must not
+#   create device arrays (jax.distributed.initialize needs an
+#   uninitialised backend; see parallel/multihost.py)
 
 
 def cdiv(a: int, b: int) -> int:
