@@ -51,7 +51,7 @@ def bench_tpu(indptr, indices):
     from tch_geometric_tpu.ops.spmm_pallas import spmm_blocked_auto
 
     log(f"devices: {jax.devices()}")
-    graph = build_blocked(indptr, indices, rows_per_block=128)
+    graph = build_blocked(indptr, indices, rows_per_block=256)
     x = jnp.asarray(np.random.default_rng(1).normal(size=(N, F)).astype(np.float32))
 
     # K data-dependent chained iterations inside ONE jit, ending in a scalar
@@ -77,7 +77,37 @@ def bench_tpu(indptr, indices):
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times)) / K
     log(f"tpu spmm {dt*1e3:.2f} ms/iter -> {E/dt/1e9:.2f} Gedge/s")
-    return E / dt
+
+    # Measured speed-of-light for THIS access pattern: the pure gather of
+    # the kernel's exact padded row-fetch multiset.  scripts/
+    # bench_spmm_roofline.py establishes the wall is the gather engine's
+    # per-access issue rate (~380 Macc/s at 256 B rows) — invariant to
+    # index randomness (sequential == random), table size (4 MB..64 MB)
+    # and hot-prefix concentration, and NOT parallelizable across gather
+    # ops (two half-gathers are 2.5x slower).  No gather-based SpMM can
+    # exceed it; the fraction below is the honest roofline.
+    padded_idx = graph.edge_src.reshape(-1)
+    xb = x.astype(jnp.bfloat16)
+
+    @jax.jit
+    def g_floor(xb, idx):
+        def body(c, _):
+            shift = jnp.int32(jnp.abs(c)) % N
+            return xb[(idx + shift) % N].sum().astype(jnp.float32), None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
+        return c
+
+    float(g_floor(xb, padded_idx))
+    tf = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(g_floor(xb, padded_idx))
+        tf.append(time.perf_counter() - t0)
+    dtf = float(np.median(tf)) / K
+    frac = dtf / dt
+    log(f"gather wall {dtf*1e3:.2f} ms/iter ({padded_idx.shape[0]/dtf/1e6:.0f}"
+        f" Macc/s) -> kernel at {frac*100:.1f}% of measured speed-of-light")
+    return E / dt, frac
 
 
 def bench_torch_cpu(indptr, indices):
@@ -107,13 +137,14 @@ def main():
     except Exception as e:  # torch missing/failed: fall back to 1 edge/ns ref
         log(f"torch baseline failed: {e}")
         baseline = None
-    value = bench_tpu(indptr, indices)
+    value, roofline_frac = bench_tpu(indptr, indices)
     vs = (value / baseline) if baseline else 0.0
     print(json.dumps({
         "metric": "spmm_edges_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "edges/s",
         "vs_baseline": round(vs, 2),
+        "roofline_frac_of_measured_gather_wall": round(roofline_frac, 3),
     }))
 
 
