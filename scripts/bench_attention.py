@@ -1,0 +1,141 @@
+"""SDDMM / edge-softmax / attention benchmarks on the real chip.
+
+VERDICT item 4: the blocked attention kernels (ops/attention_blocked.py)
+had only run under interpret=True; this script compiles and times them on
+TPU at the headline SpMM shape class (N=262k, E=4.19M random, F=128) plus
+a 4-head GAT step, and reports each stage against the measured gather wall
+(the same speed-of-light as SpMM — SDDMM and weighted SpMM each pay one
+(T, C, F) source gather; see BASELINE.md roofline decomposition).
+
+Matches: the aggregation+attention path the reference delegates to PyG
+convs (/root/reference/examples/neighbor_sampling.py:21-24); north star
+"SpMM/SDDMM at speed-of-light per chip".
+
+Run: python scripts/bench_attention.py
+"""
+import sys
+import time
+
+import numpy as np
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+N = 1 << 18
+E = 1 << 22
+F = 128
+H, DH = 4, 32     # GAT heads
+K = 8
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timed(fn, *args, reps=3):
+    f = jax.jit(fn)
+    t0 = time.time()
+    float(f(*args))
+    cs = time.time() - t0
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(f(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / K, cs
+
+
+def main():
+    from tch_geometric_tpu.ops.attention_blocked import (
+        attend_blocked, edge_softmax_blocked, gat_attend_blocked,
+        sddmm_blocked_pallas, spmm_blocked_weighted_pallas)
+    from tch_geometric_tpu.ops.spmm_blocked import build_blocked
+
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+    dst = rng.integers(0, N, E, dtype=np.int64)
+    src = rng.integers(0, N, E, dtype=np.int64)
+    order = np.argsort(dst, kind="stable")
+    dst, src = dst[order], src[order]
+    indptr = np.searchsorted(dst, np.arange(N + 1)).astype(np.int32)
+    b = build_blocked(indptr, src.astype(np.int32), rows_per_block=128)
+    T, C = b.edge_src.shape
+    log(f"layout: T={T} C={C} pad={T*C/E:.3f}")
+
+    x = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    xb = x.astype(jnp.bfloat16)
+    hh = jnp.asarray(rng.normal(size=(N, H, DH)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    a_dst = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+
+    def chain(fn):
+        def run(*args):
+            def body(c, _):
+                out = fn(*args)
+                return (c + out).astype(jnp.float32), None
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
+            return c
+        return run
+
+    rows = []
+
+    # SDDMM
+    dt, cs = timed(chain(lambda: sddmm_blocked_pallas(b, x, x).sum()))
+    rows.append(("sddmm", dt))
+    log(f"sddmm               : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} Gedge/s "
+        f"(compile {cs:.0f}s)")
+
+    # edge softmax over fixed scores
+    s0 = sddmm_blocked_pallas(b, x, x)
+    dt, cs = timed(chain(lambda: edge_softmax_blocked(b, s0).sum()))
+    rows.append(("edge_softmax", dt))
+    log(f"edge_softmax        : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} Gedge/s "
+        f"(compile {cs:.0f}s)")
+
+    # weighted SpMM
+    att0 = edge_softmax_blocked(b, s0)
+    dt, cs = timed(chain(
+        lambda: spmm_blocked_weighted_pallas(b, x, att0).sum()))
+    rows.append(("weighted_spmm", dt))
+    log(f"weighted_spmm       : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} Gedge/s "
+        f"(compile {cs:.0f}s)")
+
+    # full transformer-style attention (SDDMM + softmax + weighted SpMM)
+    dt, cs = timed(chain(lambda: attend_blocked(b, x, x).sum()))
+    rows.append(("attend_full", dt))
+    log(f"attend (full)       : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} Gedge/s "
+        f"(compile {cs:.0f}s)")
+
+    # 4-head GAT aggregation
+    dt, cs = timed(chain(
+        lambda: gat_attend_blocked(b, hh, a_src, a_dst).sum()))
+    rows.append(("gat_4head", dt))
+    log(f"gat 4-head (d=32)   : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} Gedge/s "
+        f"(compile {cs:.0f}s)")
+
+    # context: the gather wall for ONE (T, C, F) source fetch
+    padded_idx = b.edge_src.reshape(-1)
+
+    def g_floor(xb, idx):
+        def body(c, _):
+            shift = jnp.int32(jnp.abs(c)) % N
+            return xb[(idx + shift) % N].sum().astype(jnp.float32), None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
+        return c
+
+    dtf, _ = timed(g_floor, xb, padded_idx)
+    log(f"gather wall (1 pass): {dtf*1e3:7.2f} ms")
+    for name, dt in rows:
+        gathers = {"sddmm": 1, "edge_softmax": 0, "weighted_spmm": 1,
+                   "attend_full": 2, "gat_4head": 0}[name]
+        if gathers:
+            log(f"  {name}: {gathers*dtf/dt*100:.1f}% of its "
+                f"{gathers}-gather floor")
+
+
+if __name__ == "__main__":
+    main()
