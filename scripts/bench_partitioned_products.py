@@ -78,3 +78,67 @@ with mesh:
     print(f"partitioned products-scale train step (P={n_dev}): "
           f"{dt*1e3:.1f} ms -> {1/dt:.1f} minibatches/s  "
           f"loss={float(loss):.3f} overflow={int(ovf)}", flush=True)
+
+# --------------------------------------------------------------------------
+# BASELINE config 5 sampler family at products scale: budget sampling +
+# CTDNE temporal walks over the SAME partitioned topology, with the routing
+# overflow RATE reported at the default capacity factor (VERDICT item 6:
+# overflow must be a measured, bounded quantity at realistic skew).
+# --------------------------------------------------------------------------
+from tch_geometric_tpu.parallel.dist_budget import dist_budget_sample
+from tch_geometric_tpu.parallel.dist_walks import (
+    dist_biased_tempo_random_walk, effective_edge_ts)
+from tch_geometric_tpu.utils.metrics import MetricsLogger
+
+mlog = MetricsLogger()
+rng_np = np.random.default_rng(0)
+key = jax.random.key(1)
+seeds_np = rng_np.integers(0, data.num_nodes, B).astype(np.int32)
+
+for cf, rounds in ((1.3, 1), (1.3, 2)):
+    sample, ovf = dist_budget_sample(key, pg, seeds_np, (15, 10, 5), mesh,
+                                     capacity_factor=cf, num_rounds=rounds)
+    n_requests = sum(B * int(np.prod([15, 10, 5][:i]))
+                     for i in range(3))
+    t0 = time.perf_counter()
+    K = 10
+    for _ in range(K):
+        sample, ovf = dist_budget_sample(key, pg, seeds_np, (15, 10, 5),
+                                         mesh, capacity_factor=cf,
+                                         num_rounds=rounds)
+    np.asarray(sample.nodes)
+    dt = (time.perf_counter() - t0) / K
+    rate = int(np.asarray(ovf).sum()) / n_requests
+    print(f"budget [15,10,5] B={B} cf={cf} rounds={rounds}: "
+          f"{dt*1e3:.1f} ms/batch  overflow_rate={rate:.2e}", flush=True)
+    mlog.step(rounds, batch_size=B, budget_ms=dt * 1e3, overflow_rate=rate)
+
+# CTDNE walks need effective timestamps on a CSR (out-edge) partition;
+# synthesize timestamps at products scale
+t0 = time.time()
+ts_edge = rng_np.integers(0, 1 << 20, data.num_edges).astype(np.int64)
+ts_node = rng_np.integers(0, 1 << 20, data.num_nodes).astype(np.int64)
+ts_eff = effective_edge_ts(indices, ts_edge, ts_node)
+pgw = build_partitioned_graph(indptr, indices, n_dev, edge_timestamps=ts_eff)
+print(f"temporal partition build: {time.time()-t0:.0f}s", flush=True)
+
+Bw = 4096
+starts = rng_np.integers(0, data.num_nodes, Bw).astype(np.int32)
+start_ts = np.zeros(Bw, np.int32)
+for cf, rounds in ((1.3, 1), (1.3, 2)):
+    walks, wts, ovf = dist_biased_tempo_random_walk(
+        key, pgw, starts, start_ts, 20, "exponential", mesh, retry_count=3,
+        capacity_factor=cf, num_rounds=rounds)
+    t0 = time.perf_counter()
+    K = 5
+    for _ in range(K):
+        walks, wts, ovf = dist_biased_tempo_random_walk(
+            key, pgw, starts, start_ts, 20, "exponential", mesh,
+            retry_count=3, capacity_factor=cf, num_rounds=rounds)
+    np.asarray(walks)
+    dt = (time.perf_counter() - t0) / K
+    rate = int(np.asarray(ovf).sum()) / (Bw * 19)
+    print(f"CTDNE L=20 B={Bw} cf={cf} rounds={rounds}: "
+          f"{dt*1e3:.1f} ms -> {Bw/dt:.0f} walks/s  "
+          f"overflow_rate={rate:.2e}", flush=True)
+    mlog.step(rounds, batch_size=Bw, ctdne_ms=dt * 1e3, overflow_rate=rate)

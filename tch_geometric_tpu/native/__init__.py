@@ -53,6 +53,17 @@ def get_lib():
                 i64p, i64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64,
                 ctypes.c_uint64, i64p, i64p, i64p, i64p, i64p]
             lib.tgt_neighbor_sample_golden.restype = ctypes.c_int64
+            lib.tgt_neighbor_sample_golden_wor.argtypes = \
+                lib.tgt_neighbor_sample_golden.argtypes
+            lib.tgt_neighbor_sample_golden_wor.restype = ctypes.c_int64
+            f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+            lib.tgt_neighbor_sample_golden_weighted.argtypes = [
+                i64p, i64p, f64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64,
+                ctypes.c_uint64, i64p, i64p, i64p, i64p, i64p]
+            lib.tgt_neighbor_sample_golden_weighted.restype = ctypes.c_int64
+            lib.tgt_random_walk_golden.argtypes = [
+                i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_double, ctypes.c_double, ctypes.c_uint64, i64p]
             _lib = lib
     return _lib
 
@@ -84,8 +95,14 @@ def coo_to_csx(row: np.ndarray, col: np.ndarray, num_rows: int, num_cols: int,
     return ptrs, indices, perm
 
 
-def neighbor_sample_golden(col_ptrs, row_indices, inputs, fanouts, seed=1):
-    """Sequential CPU golden sampler (uniform with replacement)."""
+def neighbor_sample_golden(col_ptrs, row_indices, inputs, fanouts, seed=1,
+                           *, with_replacement=True, weights=None):
+    """Sequential CPU golden sampler.
+
+    ``with_replacement=True``: uniform-with-replacement (the reference's
+    UnweightedSampler<true>); ``False``: Algorithm-R reservoir
+    (sampling.rs:6-26); ``weights``: A-Chao weighted reservoir
+    (sampling.rs:28-55).  Independent oracles for invariant/law tests."""
     lib = get_lib()
     col_ptrs = np.ascontiguousarray(col_ptrs, dtype=np.int64)
     row_indices = np.ascontiguousarray(row_indices, dtype=np.int64)
@@ -101,8 +118,34 @@ def neighbor_sample_golden(col_ptrs, row_indices, inputs, fanouts, seed=1):
     cols = np.empty(cap, dtype=np.int64)
     eptr = np.empty(cap, dtype=np.int64)
     n_edges = np.zeros(1, dtype=np.int64)
-    n = lib.tgt_neighbor_sample_golden(
-        col_ptrs, row_indices, inputs, inputs.shape[0], fanouts,
-        fanouts.shape[0], seed, samples, rows, cols, eptr, n_edges)
+    if weights is not None:
+        w = np.ascontiguousarray(weights, dtype=np.float64)
+        n = lib.tgt_neighbor_sample_golden_weighted(
+            col_ptrs, row_indices, w, inputs, inputs.shape[0], fanouts,
+            fanouts.shape[0], seed, samples, rows, cols, eptr, n_edges)
+    elif with_replacement:
+        n = lib.tgt_neighbor_sample_golden(
+            col_ptrs, row_indices, inputs, inputs.shape[0], fanouts,
+            fanouts.shape[0], seed, samples, rows, cols, eptr, n_edges)
+    else:
+        n = lib.tgt_neighbor_sample_golden_wor(
+            col_ptrs, row_indices, inputs, inputs.shape[0], fanouts,
+            fanouts.shape[0], seed, samples, rows, cols, eptr, n_edges)
     m = int(n_edges[0])
     return samples[:n], rows[:m], cols[:m], eptr[:m]
+
+
+def random_walk_golden(row_ptrs, col_indices, start, walk_length,
+                       p=1.0, q=1.0, seed=1):
+    """Sequential node2vec oracle: the reference's UNBOUNDED rejection
+    loop + binary-search has_edge (random_walk.rs:10-75) — the law our
+    bounded-trial device walk approximates (SURVEY §7.3)."""
+    lib = get_lib()
+    row_ptrs = np.ascontiguousarray(row_ptrs, dtype=np.int64)
+    col_indices = np.ascontiguousarray(col_indices, dtype=np.int64)
+    start = np.ascontiguousarray(start, dtype=np.int64)
+    walks = np.empty((start.shape[0], walk_length + 1), dtype=np.int64)
+    lib.tgt_random_walk_golden(row_ptrs, col_indices, start, start.shape[0],
+                               walk_length, float(p), float(q), seed,
+                               walks.reshape(-1))
+    return walks

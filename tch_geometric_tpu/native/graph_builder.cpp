@@ -122,4 +122,151 @@ int64_t tgt_neighbor_sample_golden(
   return n;
 }
 
+// Golden WITHOUT-replacement sampler: Algorithm-R reservoir per frontier
+// node — the reference's exact law (/root/reference/src/utils/sampling.rs:
+// 6-26, used by UnweightedSampler<false>).  Same tree layout as the
+// with-replacement golden above.
+int64_t tgt_neighbor_sample_golden_wor(
+    const int64_t* col_ptrs, const int64_t* row_indices,
+    const int64_t* inputs, int64_t n_inputs,
+    const int64_t* fanouts, int64_t n_hops,
+    uint64_t seed,
+    int64_t* samples, int64_t* rows, int64_t* cols, int64_t* eptr,
+    int64_t* n_edges_out) {
+  uint64_t st = seed ? seed : 0x9E3779B97F4A7C15ULL;
+  int64_t n = 0, m = 0;
+  for (int64_t i = 0; i < n_inputs; ++i) samples[n++] = inputs[i];
+  int64_t begin = 0, end = n;
+  std::vector<int64_t> res;
+  for (int64_t h = 0; h < n_hops; ++h) {
+    const int64_t k = fanouts[h];
+    res.resize(k);
+    for (int64_t i = begin; i < end; ++i) {
+      const int64_t w = samples[i];
+      const int64_t lo = col_ptrs[w], hi = col_ptrs[w + 1];
+      int64_t cnt = 0;
+      for (int64_t e = lo; e < hi; ++e) {       // reservoir over the row
+        if (cnt < k) {
+          res[cnt] = e;
+        } else {
+          const int64_t j = (int64_t)(xs64(&st) % (uint64_t)(cnt + 1));
+          if (j < k) res[j] = e;
+        }
+        ++cnt;
+      }
+      const int64_t got = cnt < k ? cnt : k;
+      for (int64_t s = 0; s < got; ++s) {
+        rows[m] = n;
+        cols[m] = i;
+        eptr[m] = res[s];
+        ++m;
+        samples[n++] = row_indices[res[s]];
+      }
+    }
+    begin = end;
+    end = n;
+  }
+  *n_edges_out = m;
+  return n;
+}
+
+// Golden WEIGHTED reservoir sampler: A-Chao-style running-weight-sum
+// acceptance with random-slot eviction — the reference's WeightedSampler
+// law (/root/reference/src/utils/sampling.rs:28-55).
+int64_t tgt_neighbor_sample_golden_weighted(
+    const int64_t* col_ptrs, const int64_t* row_indices,
+    const double* edge_weights,
+    const int64_t* inputs, int64_t n_inputs,
+    const int64_t* fanouts, int64_t n_hops,
+    uint64_t seed,
+    int64_t* samples, int64_t* rows, int64_t* cols, int64_t* eptr,
+    int64_t* n_edges_out) {
+  uint64_t st = seed ? seed : 0x9E3779B97F4A7C15ULL;
+  const double inv = 1.0 / (double)UINT64_MAX;
+  int64_t n = 0, m = 0;
+  for (int64_t i = 0; i < n_inputs; ++i) samples[n++] = inputs[i];
+  int64_t begin = 0, end = n;
+  std::vector<int64_t> res;
+  for (int64_t h = 0; h < n_hops; ++h) {
+    const int64_t k = fanouts[h];
+    res.resize(k);
+    for (int64_t i = begin; i < end; ++i) {
+      const int64_t w = samples[i];
+      const int64_t lo = col_ptrs[w], hi = col_ptrs[w + 1];
+      double wsum = 0.0;
+      int64_t cnt = 0;
+      for (int64_t e = lo; e < hi; ++e) {
+        const double we = edge_weights[e];
+        wsum += we;
+        if (cnt < k) {
+          res[cnt] = e;
+        } else if ((double)xs64(&st) * inv < we * (double)k / wsum) {
+          res[(int64_t)(xs64(&st) % (uint64_t)k)] = e;
+        }
+        ++cnt;
+      }
+      const int64_t got = cnt < k ? cnt : k;
+      for (int64_t s = 0; s < got; ++s) {
+        rows[m] = n;
+        cols[m] = i;
+        eptr[m] = res[s];
+        ++m;
+        samples[n++] = row_indices[res[s]];
+      }
+    }
+    begin = end;
+    end = n;
+  }
+  *n_edges_out = m;
+  return n;
+}
+
+// Golden node2vec walk: the reference's rejection loop verbatim
+// (/root/reference/src/algo/random_walk.rs:10-75) — unbounded rejection,
+// binary-search has_edge on the SORTED neighbor list (graph.rs:80-83).
+void tgt_random_walk_golden(
+    const int64_t* row_ptrs, const int64_t* col_indices,
+    const int64_t* start, int64_t n_starts, int64_t walk_length,
+    double p, double q, uint64_t seed, int64_t* walks /* n*(L+1) */) {
+  uint64_t st = seed ? seed : 0x9E3779B97F4A7C15ULL;
+  const double inv = 1.0 / (double)UINT64_MAX;
+  const double inv_p = 1.0 / p, inv_q = 1.0 / q;
+  double maxp = inv_p > 1.0 ? inv_p : 1.0;
+  if (inv_q > maxp) maxp = inv_q;
+  const double prob0 = inv_p / maxp, prob1 = 1.0 / maxp, prob2 = inv_q / maxp;
+  auto has_edge = [&](int64_t u, int64_t v) {
+    int64_t lo = row_ptrs[u], hi = row_ptrs[u + 1];
+    while (lo < hi) {                        // binary search (sorted row)
+      const int64_t mid = lo + (hi - lo) / 2;
+      if (col_indices[mid] < v) lo = mid + 1; else hi = mid;
+    }
+    return lo < row_ptrs[u + 1] && col_indices[lo] == v;
+  };
+  for (int64_t i = 0; i < n_starts; ++i) {
+    int64_t prev = -1, cur = start[i];
+    walks[i * (walk_length + 1)] = cur;
+    for (int64_t l = 0; l < walk_length; ++l) {
+      const int64_t lo = row_ptrs[cur], hi = row_ptrs[cur + 1];
+      const int64_t deg = hi - lo;
+      if (deg == 0) {
+        for (int64_t r = l; r < walk_length; ++r)
+          walks[i * (walk_length + 1) + r + 1] = -1;
+        break;
+      }
+      int64_t nxt;
+      for (;;) {                             // rejection loop (rs:52-66)
+        nxt = col_indices[lo + (int64_t)(xs64(&st) % (uint64_t)deg)];
+        const double r = (double)xs64(&st) * inv;
+        if (prev < 0) break;
+        if (nxt == prev) { if (r < prob0) break; }
+        else if (has_edge(nxt, prev)) { if (r < prob1) break; }
+        else if (r < prob2) break;
+      }
+      walks[i * (walk_length + 1) + l + 1] = nxt;
+      prev = cur;
+      cur = nxt;
+    }
+  }
+}
+
 }  // extern "C"

@@ -52,14 +52,19 @@ def _pad_dst(b: BlockedCsr, x_dst: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _sddmm_kernel(chunk_block_ref, lr_ref, g_ref, xd_ref, out_ref):
-    lr = lr_ref[0].reshape(-1)                          # (C,)
+    # Mosaic cannot move a lane vector onto sublanes (lr[:, None] fails
+    # with "unsupported shape cast"); keep C on lanes in the one-hot and
+    # emit the (C,) score as a (C, 1) sublane vector instead.
+    lr = lr_ref[0].reshape(-1)                          # (C,) lanes
     C = lr.shape[0]
     W = xd_ref.shape[0]
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
-    oh = (iota_w == lr[:, None]).astype(xd_ref.dtype)   # (C, W) VMEM only
-    xd_e = jnp.dot(oh, xd_ref[:], preferred_element_type=jnp.float32)  # (C, F)
-    s = (xd_e * g_ref[0].astype(jnp.float32)).sum(axis=-1)             # (C,)
-    out_ref[0, :] = s
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+    ohT = (iota_w == lr[None, :]).astype(xd_ref.dtype)  # (W, C) VMEM only
+    xd_e = jax.lax.dot_general(
+        ohT, xd_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (C, F)
+    s = (xd_e * g_ref[0].astype(jnp.float32)).sum(axis=-1)   # (C,) sublanes
+    out_ref[0] = s[:, None]
 
 
 def sddmm_blocked_pallas(b: BlockedCsr, x_dst: jax.Array, x_src: jax.Array,
@@ -88,14 +93,19 @@ def sddmm_blocked_pallas(b: BlockedCsr, x_dst: jax.Array, x_src: jax.Array,
             pl.BlockSpec((1, C, F), lambda t, cb: (t, 0, 0)),
             pl.BlockSpec((W, F), lambda t, cb: (cb[t], 0)),
         ],
-        out_specs=pl.BlockSpec((1, C), lambda t, cb: (t, 0)),
+        # (1, C, 1) blocks: the kernel's score lives on SUBLANES (it is
+        # reduced along the feature lanes); the trailing singleton makes
+        # the block legal ((C, 1): C % 8 == 0, 1 == array dim) and the
+        # lane-major (T, C) view is one free XLA reshape outside.
+        out_specs=pl.BlockSpec((1, C, 1), lambda t, cb: (t, 0, 0)),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _sddmm_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, C, 1), jnp.float32),
         interpret=interpret,
     )(b.chunk_block, lr3, g, xd)
+    return out.reshape(T, C)
 
 
 # ---------------------------------------------------------------------------
@@ -108,46 +118,48 @@ def _mz_kernel(chunk_block_ref, lr_ref, s_ref, m_ref, z_ref):
     prev_blk = chunk_block_ref[jnp.maximum(t - 1, 0)]
     first = jnp.logical_or(t == 0, blk != prev_blk)
 
-    lr = lr_ref[0].reshape(-1)                          # (C,)
-    s = s_ref[0]                                        # (C,) f32
-    W = m_ref.shape[0]
+    lr = lr_ref[0].reshape(-1)                          # (C,) lanes
+    s = s_ref[0, 0]                                     # (C,) f32 lanes
+    W = m_ref.shape[-2]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, lr.shape[0]), 0)
     masked = jnp.where(iota_w == lr[None, :], s[None, :], NEG_INF)  # (W, C)
-    m_c = jnp.max(masked, axis=1)                       # (W,)
+    # row stats are SUBLANE vectors (reduced along lanes): (W, 1) tiles
+    m_c = jnp.max(masked, axis=1, keepdims=True)        # (W, 1)
     m_safe = jnp.where(jnp.isfinite(m_c), m_c, 0.0)
-    e = jnp.where(jnp.isfinite(masked), jnp.exp(masked - m_safe[:, None]), 0.0)
-    z_c = e.sum(axis=1)                                 # (W,)
+    e = jnp.where(jnp.isfinite(masked), jnp.exp(masked - m_safe), 0.0)
+    z_c = e.sum(axis=1, keepdims=True)                  # (W, 1)
 
     @pl.when(first)
     def _():
-        m_ref[:] = m_c
-        z_ref[:] = z_c
+        m_ref[0] = m_c
+        z_ref[0] = z_c
 
     @pl.when(jnp.logical_not(first))
     def _():
-        m_old = m_ref[:]
-        z_old = z_ref[:]
+        m_old = m_ref[0]
+        z_old = z_ref[0]
         m_new = jnp.maximum(m_old, m_c)
         m_new_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
         r_old = jnp.where(jnp.isfinite(m_old), jnp.exp(m_old - m_new_safe), 0.0)
         r_c = jnp.where(jnp.isfinite(m_c), jnp.exp(m_c - m_new_safe), 0.0)
-        m_ref[:] = m_new
-        z_ref[:] = z_old * r_old + z_c * r_c
+        m_ref[0] = m_new
+        z_ref[0] = z_old * r_old + z_c * r_c
 
 
 def _att_kernel(chunk_block_ref, lr_ref, s_ref, m_ref, z_ref, out_ref):
-    lr = lr_ref[0].reshape(-1)                          # (C,)
-    s = s_ref[0]                                        # (C,)
-    W = m_ref.shape[0]
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (lr.shape[0], W), 1)
-    oh = (iota_w == lr[:, None])                        # (C, W)
-    # per-lane VMEM "gather" of the 128-entry row stats via masked reduce
-    m_e = jnp.where(oh, m_ref[:][None, :], NEG_INF).max(axis=1)   # (C,)
-    z_e = jnp.where(oh, z_ref[:][None, :], 0.0).sum(axis=1)       # (C,)
+    lr = lr_ref[0].reshape(-1)                          # (C,) lanes
+    s = s_ref[0, 0]                                     # (C,) lanes
+    W = m_ref.shape[-2]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, lr.shape[0]), 0)
+    ohT = iota_w == lr[None, :]                         # (W, C)
+    # per-lane VMEM "gather" of the row stats: mask the (W, 1) sublane
+    # stats across lanes and reduce over sublanes -> (C,) lane vectors
+    m_e = jnp.where(ohT, m_ref[0], NEG_INF).max(axis=0)            # (C,)
+    z_e = jnp.where(ohT, z_ref[0], 0.0).sum(axis=0)                # (C,)
     att = jnp.where(jnp.isfinite(m_e) & (z_e > 0.0),
                     jnp.exp(s - jnp.where(jnp.isfinite(m_e), m_e, 0.0))
                     / jnp.maximum(z_e, 1e-38), 0.0)
-    out_ref[0, :] = att
+    out_ref[0, 0, :] = att
 
 
 def edge_softmax_blocked(b: BlockedCsr, scores: jax.Array, *,
@@ -167,44 +179,49 @@ def edge_softmax_blocked(b: BlockedCsr, scores: jax.Array, *,
     B = b.num_blocks
     assert C % 128 == 0 and W % 128 == 0, "W and C must be multiples of 128"
     lr3 = b.edge_local_row.reshape(T, C // 128, 128)
+    # (1, 1, C)/(1, 1, W) blocks: real Mosaic lowering rejects 2-D (1, C)
+    # and 1-D (W,) blocks (last two dims must be (8k, 128m) or equal the
+    # array dims); the middle singleton satisfies it exactly.
+    s3 = scores.reshape(T, 1, C)
 
     grid_mz = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, C // 128, 128), lambda t, cb: (t, 0, 0)),
-            pl.BlockSpec((1, C), lambda t, cb: (t, 0)),
+            pl.BlockSpec((1, 1, C), lambda t, cb: (t, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((W,), lambda t, cb: (cb[t],)),
-            pl.BlockSpec((W,), lambda t, cb: (cb[t],)),
+            pl.BlockSpec((1, W, 1), lambda t, cb: (cb[t], 0, 0)),
+            pl.BlockSpec((1, W, 1), lambda t, cb: (cb[t], 0, 0)),
         ],
     )
     m, z = pl.pallas_call(
         _mz_kernel,
         grid_spec=grid_mz,
-        out_shape=[jax.ShapeDtypeStruct((B * W,), jnp.float32),
-                   jax.ShapeDtypeStruct((B * W,), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((B, W, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, W, 1), jnp.float32)],
         interpret=interpret,
-    )(b.chunk_block, lr3, scores)
+    )(b.chunk_block, lr3, s3)
 
     grid_att = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, C // 128, 128), lambda t, cb: (t, 0, 0)),
-            pl.BlockSpec((1, C), lambda t, cb: (t, 0)),
-            pl.BlockSpec((W,), lambda t, cb: (cb[t],)),
-            pl.BlockSpec((W,), lambda t, cb: (cb[t],)),
+            pl.BlockSpec((1, 1, C), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, W, 1), lambda t, cb: (cb[t], 0, 0)),
+            pl.BlockSpec((1, W, 1), lambda t, cb: (cb[t], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, C), lambda t, cb: (t, 0)),
+        out_specs=pl.BlockSpec((1, 1, C), lambda t, cb: (t, 0, 0)),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _att_kernel,
         grid_spec=grid_att,
-        out_shape=jax.ShapeDtypeStruct((T, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, 1, C), jnp.float32),
         interpret=interpret,
-    )(b.chunk_block, lr3, scores, m, z)
+    )(b.chunk_block, lr3, s3, m, z)
+    return out.reshape(T, C)
 
 
 # ---------------------------------------------------------------------------
@@ -218,7 +235,7 @@ def _spmm_w_kernel(chunk_block_ref, lr_ref, w_ref, g_ref, out_ref):
     first = jnp.logical_or(t == 0, blk != prev_blk)
 
     lr = lr_ref[0].reshape(-1)                          # (C,)
-    w = w_ref[0]                                        # (C,) f32
+    w = w_ref[0, 0]                                     # (C,) f32
     W = out_ref.shape[0]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, lr.shape[0]), 0)
     # weight folded into the one-hot operand (same trick as _kernel_q8)
@@ -258,7 +275,7 @@ def spmm_blocked_weighted_pallas(b: BlockedCsr, x: jax.Array,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, C // 128, 128), lambda t, cb: (t, 0, 0)),
-            pl.BlockSpec((1, C), lambda t, cb: (t, 0)),
+            pl.BlockSpec((1, 1, C), lambda t, cb: (t, 0, 0)),
             pl.BlockSpec((1, C, F), lambda t, cb: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec((W, F), lambda t, cb: (cb[t], 0)),
@@ -268,7 +285,8 @@ def spmm_blocked_weighted_pallas(b: BlockedCsr, x: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B * W, F), jnp.float32),
         interpret=interpret,
-    )(b.chunk_block, lr3, edge_weight.astype(jnp.float32), g)
+    )(b.chunk_block, lr3,
+      edge_weight.astype(jnp.float32).reshape(T, 1, C), g)
     return out[: b.num_rows]
 
 

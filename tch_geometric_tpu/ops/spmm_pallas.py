@@ -59,7 +59,8 @@ def spmm_blocked_pallas(b: BlockedCsr, x: jax.Array, *, agg: str = "sum",
     F = x.shape[-1]
     B = b.num_blocks
 
-    g = x.astype(compute_dtype)[b.edge_src]          # (T, C, F) XLA gather
+    with jax.named_scope("spmm.gather"):
+        g = x.astype(compute_dtype)[b.edge_src]      # (T, C, F) XLA gather
 
     # TPU block shapes: last two dims must tile to (8, 128) or equal the
     # array dims — reshape the (T, C) int32 local rows to (T, C/128, 128)
@@ -76,12 +77,13 @@ def spmm_blocked_pallas(b: BlockedCsr, x: jax.Array, *, agg: str = "sum",
         ],
         out_specs=pl.BlockSpec((W, F), lambda t, cb: (cb[t], 0)),
     )
-    out = pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B * W, F), jnp.float32),
-        interpret=interpret,
-    )(b.chunk_block, lr3, g)
+    with jax.named_scope("spmm.contract"):
+        out = pl.pallas_call(
+            _kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B * W, F), jnp.float32),
+            interpret=interpret,
+        )(b.chunk_block, lr3, g)
 
     out = out[: b.num_rows]
     if agg == "mean":

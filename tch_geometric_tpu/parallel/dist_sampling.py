@@ -498,17 +498,19 @@ def _exchange_hop(key_hop, graph_shard, frontier, fvalid, fuid, fstate,
     local = (gid // num_parts).astype(jnp.int32)
 
     def owner_fn(recv):
-        neighbor, eptr, pvalid, new_state = _owner_sample(
-            g, key_hop, recv, k, with_replacement, weighted, filter_cfg,
-            window)
+        with jax.named_scope("dist_sample.owner_sample"):
+            neighbor, eptr, pvalid, new_state = _owner_sample(
+                g, key_hop, recv, k, with_replacement, weighted, filter_cfg,
+                window)
         return jnp.concatenate([neighbor, eptr, pvalid.astype(jnp.int32),
                                 new_state], axis=-1)          # (P, C, 4k)
 
     payload = jnp.stack([local, fuid.astype(jnp.int32),
                          fstate.astype(jnp.int32)], axis=-1)  # (L, 3)
-    mine, got, overflow = exchange_rounds(
-        payload, owner, fvalid, owner_fn, axis=axis, num_parts=num_parts,
-        capacity=capacity, num_rounds=num_rounds, ret_cols=4 * k)
+    with jax.named_scope("dist_sample.exchange"):
+        mine, got, overflow = exchange_rounds(
+            payload, owner, fvalid, owner_fn, axis=axis, num_parts=num_parts,
+            capacity=capacity, num_rounds=num_rounds, ret_cols=4 * k)
     neighbor = mine[:, :k]
     eptr = mine[:, k: 2 * k]
     valid = (mine[:, 2 * k: 3 * k] != 0) & got[:, None]

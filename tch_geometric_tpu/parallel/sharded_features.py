@@ -84,9 +84,12 @@ def halo_gather(x_shard: jax.Array, ids: jax.Array, *, axis: str,
                     & (rank_all < (rnd + 1) * capacity) & valid)
         req = scatter(local, rnd)
         # route requests to owners; owners gather locally; rows route back
-        peer_req = jax.lax.all_to_all(req, axis, 0, 0)    # (P, C) asked of me
-        rows = x_shard[jnp.clip(peer_req, 0, x_shard.shape[0] - 1)]
-        back = jax.lax.all_to_all(rows, axis, 0, 0)       # (P, C, F) mine
+        with jax.named_scope("halo.route_requests"):
+            peer_req = jax.lax.all_to_all(req, axis, 0, 0)  # (P, C) of me
+        with jax.named_scope("halo.owner_gather"):
+            rows = x_shard[jnp.clip(peer_req, 0, x_shard.shape[0] - 1)]
+        with jax.named_scope("halo.route_rows"):
+            back = jax.lax.all_to_all(rows, axis, 0, 0)     # (P, C, F) mine
         mine = back[owner, jnp.where(in_round, rank_all - rnd * capacity, 0)]
         out = jnp.where(in_round[:, None], mine, out)
         got = jnp.logical_or(got, in_round)
@@ -122,9 +125,10 @@ def make_sharded_feature_trainer(
 
     def _sample_and_gather(key, graph, x_shard, seeds_local):
         zeros = jnp.zeros((seeds_local.shape[0],), jnp.int32)
-        sample = _sample_neighbors_impl(
-            key, graph, seeds_local.astype(jnp.int32), zeros, None, None,
-            fanouts, with_replacement, None, window)
+        with jax.named_scope("sample"):
+            sample = _sample_neighbors_impl(
+                key, graph, seeds_local.astype(jnp.int32), zeros, None, None,
+                fanouts, with_replacement, None, window)
         n_rows = x_shard.shape[0] * num_parts
         ids = jnp.clip(sample.nodes, 0, n_rows - 1)
         capacity = int(np.ceil(capacity_factor * ids.shape[0] / num_parts))

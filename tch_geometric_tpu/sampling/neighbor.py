@@ -320,8 +320,9 @@ def _sample_neighbors_impl(
         frontier, fvalid, fstate = nodes[ell], valids[ell], states[ell]
         B = frontier.shape[0]
         hop_key = rng.fold(key, ell)
-        eptr, neighbor, valid, new_state = _sample_one_hop(
-            hop_key, graph, frontier, fvalid, fstate, k,
+        with jax.named_scope(f"sample.hop{ell}"):
+            eptr, neighbor, valid, new_state = _sample_one_hop(
+                hop_key, graph, frontier, fvalid, fstate, k,
             with_replacement=with_replacement,
             log_weights=log_weights,
             filter_cfg=filter_cfg,

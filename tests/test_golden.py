@@ -106,6 +106,95 @@ def test_golden_neighbor_sampling_matches_device(karate):
     assert np.array_equal(eptr_d, eptr_g)
 
 
+def test_golden_cpp_wor_and_weighted_invariants(karate):
+    """Extended C++ oracles: without-replacement draws are DISTINCT edges
+    of the right row; weighted reservoir returns valid edges; the node2vec
+    oracle's steps are all real out-edges."""
+    from tch_geometric_tpu import native
+    if not native.available():
+        pytest.skip("native unavailable")
+    from tch_geometric_tpu.data.storage import to_csr
+    _x, _y, edge_index = karate
+    g = csc_graph_from_coo(edge_index, 34)
+    cp = np.asarray(g.indptr, dtype=np.int64)
+    ri = np.asarray(g.indices, dtype=np.int64)
+    E = ri.shape[0]
+    seeds = np.arange(8)
+
+    s, rows, cols, eptr = native.neighbor_sample_golden(
+        cp, ri, seeds, np.array([4, 3]), seed=7, with_replacement=False)
+    per_parent = {}
+    for j, i, e in zip(rows, cols, eptr):
+        assert ri[e] == s[j]
+        assert cp[s[i]] <= e < cp[s[i] + 1]
+        per_parent.setdefault(i, []).append(e)
+    for es in per_parent.values():
+        assert len(es) == len(set(es)), "reservoir drew a duplicate edge"
+
+    w = np.random.default_rng(0).uniform(0.1, 5.0, E)
+    s, rows, cols, eptr = native.neighbor_sample_golden(
+        cp, ri, seeds, np.array([4, 3]), seed=7, weights=w)
+    for j, i, e in zip(rows, cols, eptr):
+        assert ri[e] == s[j]
+        assert cp[s[i]] <= e < cp[s[i] + 1]
+
+    rp, ci, _ = to_csr(np.asarray(edge_index), 34)
+    rp, ci = np.asarray(rp), np.asarray(ci)
+    walks = native.random_walk_golden(rp, ci, seeds, 10, p=2.0, q=0.5,
+                                      seed=3)
+    assert (walks[:, 0] == seeds).all()
+    for i in range(8):
+        for l in range(10):
+            if walks[i, l + 1] < 0:
+                break
+            u, v = walks[i, l], walks[i, l + 1]
+            assert v in ci[rp[u]: rp[u + 1]]
+
+
+def test_weighted_law_agreement_device_vs_cpp(karate):
+    """LAW-level agreement: the device Gumbel-top-k weighted sampler and
+    the C++ A-Chao weighted reservoir produce matching per-edge marginal
+    inclusion frequencies on a hub row (k=2 of its in-edges, weights 8:1),
+    within Monte-Carlo tolerance — the distributional-equivalence evidence
+    SURVEY §7.3 calls for (bit-exactness across different RNGs is not
+    defined)."""
+    from tch_geometric_tpu import native
+    if not native.available():
+        pytest.skip("native unavailable")
+    from tch_geometric_tpu.sampling.neighbor import sample_neighbors
+    from tch_geometric_tpu.utils.config import WeightedEdgeSampler
+    _x, _y, edge_index = karate
+    g = csc_graph_from_coo(edge_index, 34)
+    cp = np.asarray(g.indptr, dtype=np.int64)
+    ri = np.asarray(g.indices, dtype=np.int64)
+    E = ri.shape[0]
+    hub = int(np.argmax(np.diff(cp)))
+    deg = int(cp[hub + 1] - cp[hub])
+    w = np.ones(E)
+    w[cp[hub]: cp[hub] + 2] = 8.0                    # two heavy edges
+    seeds = np.array([hub])
+    R = 1500
+    counts_cpp = np.zeros(deg)
+    for t in range(R):
+        _s, _r, _c, eptr = native.neighbor_sample_golden(
+            cp, ri, seeds, np.array([2]), seed=1000 + t, weights=w)
+        for e in eptr:
+            counts_cpp[e - cp[hub]] += 1
+    counts_dev = np.zeros(deg)
+    sampler = WeightedEdgeSampler(weights=w.astype(np.float32))
+    for t in range(0, R, 250):   # device draws are batched: 250 seeds/call
+        out = sample_neighbors(g, np.full(250, hub), [2],
+                               key=jax.random.key(t), sampler=sampler)
+        ev = np.asarray(out.edge_valid)
+        for e in np.asarray(out.eptr)[ev]:
+            counts_dev[e - cp[hub]] += 1
+    f_cpp = counts_cpp / counts_cpp.sum()
+    f_dev = counts_dev / counts_dev.sum()
+    # heavy edges dominate in both; marginals agree within MC noise
+    assert f_cpp[:2].sum() > 0.4 and f_dev[:2].sum() > 0.4
+    np.testing.assert_allclose(f_cpp, f_dev, atol=0.04)
+
+
 def test_golden_cpp_sampler_invariants(karate):
     """The native C++ golden sampler obeys the same invariants."""
     from tch_geometric_tpu import native
