@@ -51,20 +51,21 @@ def _pad_dst(b: BlockedCsr, x_dst: jax.Array) -> jax.Array:
 # SDDMM
 # ---------------------------------------------------------------------------
 
-def _sddmm_kernel(chunk_block_ref, lr_ref, g_ref, xd_ref, out_ref):
-    # Mosaic cannot move a lane vector onto sublanes (lr[:, None] fails
-    # with "unsupported shape cast"); keep C on lanes in the one-hot and
-    # emit the (C,) score as a (C, 1) sublane vector instead.
-    lr = lr_ref[0].reshape(-1)                          # (C,) lanes
-    C = lr.shape[0]
-    W = xd_ref.shape[0]
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
-    ohT = (iota_w == lr[None, :]).astype(xd_ref.dtype)  # (W, C) VMEM only
-    xd_e = jax.lax.dot_general(
-        ohT, xd_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)             # (C, F)
-    s = (xd_e * g_ref[0].astype(jnp.float32)).sum(axis=-1)   # (C,) sublanes
-    out_ref[0] = s[:, None]
+def _sddmm_kernel(chunk_block_ref, lr_sub_ref, g_ref, xd_ref, out_ref):
+    # NT matmul: scores against EVERY local row at once — P[c, w] =
+    # <g[c], xd[w]> contracts over the feature lanes, the layout the MXU
+    # handles natively (a sublane-contraction dot_general lowers to a
+    # VMEM transpose per chunk: measured 3x slower; and Mosaic cannot
+    # move the lane-major lr vector onto sublanes, so the one-hot select
+    # uses a build-side (C, 1) sublane copy of the local rows instead).
+    P = jax.lax.dot_general(
+        g_ref[0], xd_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (C, W)
+    lr = lr_sub_ref[0]                                  # (C, 1) sublanes
+    C, W = P.shape
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
+    s = jnp.where(iota_w == lr, P, 0.0).sum(axis=1, keepdims=True)  # (C, 1)
+    out_ref[0] = s
 
 
 def sddmm_blocked_pallas(b: BlockedCsr, x_dst: jax.Array, x_src: jax.Array,
@@ -83,13 +84,14 @@ def sddmm_blocked_pallas(b: BlockedCsr, x_dst: jax.Array, x_src: jax.Array,
 
     g = x_src.astype(compute_dtype)[b.edge_src]          # (T, C, F) gather
     xd = _pad_dst(b, x_dst.astype(compute_dtype))
-    lr3 = b.edge_local_row.reshape(T, C // 128, 128)
+    # sublane-major local rows: invalid lanes carry W (no one-hot match)
+    lr_sub = b.edge_local_row.reshape(T, C, 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, C // 128, 128), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, C, 1), lambda t, cb: (t, 0, 0)),
             pl.BlockSpec((1, C, F), lambda t, cb: (t, 0, 0)),
             pl.BlockSpec((W, F), lambda t, cb: (cb[t], 0)),
         ],
@@ -104,7 +106,7 @@ def sddmm_blocked_pallas(b: BlockedCsr, x_dst: jax.Array, x_src: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, C, 1), jnp.float32),
         interpret=interpret,
-    )(b.chunk_block, lr3, g, xd)
+    )(b.chunk_block, lr_sub, g, xd)
     return out.reshape(T, C)
 
 
@@ -235,12 +237,15 @@ def _spmm_w_kernel(chunk_block_ref, lr_ref, w_ref, g_ref, out_ref):
     first = jnp.logical_or(t == 0, blk != prev_blk)
 
     lr = lr_ref[0].reshape(-1)                          # (C,)
-    w = w_ref[0, 0]                                     # (C,) f32
     W = out_ref.shape[0]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, lr.shape[0]), 0)
-    # weight folded into the one-hot operand (same trick as _kernel_q8)
-    oh = jnp.where(iota_w == lr[None, :], w[None, :], 0.0).astype(g_ref.dtype)
-    part = jnp.dot(oh, g_ref[0], preferred_element_type=jnp.float32)
+    oh = (iota_w == lr[None, :]).astype(g_ref.dtype)
+    # weight folded into the GATHERED side: the (C, 1) sublane copy
+    # broadcasts over feature lanes for free, whereas folding it into the
+    # one-hot needs a (W, C) f32 select + cast per chunk (measured 2.4x
+    # slower end to end)
+    g2 = (g_ref[0].astype(jnp.float32) * w_ref[0]).astype(g_ref.dtype)
+    part = jnp.dot(oh, g2, preferred_element_type=jnp.float32)
 
     @pl.when(first)
     def _():
@@ -275,7 +280,7 @@ def spmm_blocked_weighted_pallas(b: BlockedCsr, x: jax.Array,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, C // 128, 128), lambda t, cb: (t, 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, C, 1), lambda t, cb: (t, 0, 0)),
             pl.BlockSpec((1, C, F), lambda t, cb: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec((W, F), lambda t, cb: (cb[t], 0)),
@@ -286,7 +291,85 @@ def spmm_blocked_weighted_pallas(b: BlockedCsr, x: jax.Array,
         out_shape=jax.ShapeDtypeStruct((B * W, F), jnp.float32),
         interpret=interpret,
     )(b.chunk_block, lr3,
-      edge_weight.astype(jnp.float32).reshape(T, 1, C), g)
+      edge_weight.astype(jnp.float32).reshape(T, C, 1), g)
+    return out[: b.num_rows]
+
+
+def _spmm_mw_kernel(chunk_block_ref, lr_ref, w_ref, g_ref, out_ref):
+    """Multi-head weighted accumulation: one (W, C) @ (C, H*D) matmul per
+    chunk with each head's per-edge weight pre-folded into its D-column
+    slice of the gathered features."""
+    t = pl.program_id(0)
+    blk = chunk_block_ref[t]
+    prev_blk = chunk_block_ref[jnp.maximum(t - 1, 0)]
+    first = jnp.logical_or(t == 0, blk != prev_blk)
+
+    lr = lr_ref[0].reshape(-1)                          # (C,)
+    W = out_ref.shape[0]
+    wh = w_ref[0]                                       # (C, H) f32
+    C, H = wh.shape
+    F = g_ref.shape[-1]
+    D = F // H
+    # expand (C, H) -> (C, H*D) with each head's weight repeated across its
+    # D feature columns, via a tiny constant one-hot matmul (C*H*F flops —
+    # portable where pltpu.repeat is not)
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (H, F), 1) // D
+    head_row = jax.lax.broadcasted_iota(jnp.int32, (H, F), 0)
+    expand = (col_head == head_row).astype(jnp.float32)  # (H, F)
+    wexp = jnp.dot(wh, expand, preferred_element_type=jnp.float32)  # (C, F)
+    g2 = (g_ref[0].astype(jnp.float32) * wexp).astype(g_ref.dtype)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, lr.shape[0]), 0)
+    oh = (iota_w == lr[None, :]).astype(g_ref.dtype)
+    part = jnp.dot(oh, g2, preferred_element_type=jnp.float32)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[:] = out_ref[:] + part
+
+
+def spmm_blocked_multiweighted_pallas(b: BlockedCsr, x: jax.Array,
+                                      edge_weight: jax.Array, *,
+                                      compute_dtype=jnp.bfloat16,
+                                      interpret: bool = False) -> jax.Array:
+    """H-head weighted SpMM in ONE kernel + ONE wide gather.
+
+    ``x``: (N, H*D) head-concatenated features; ``edge_weight``: (H, T, C)
+    per-head blocked weights.  Returns (num_rows, H*D) float32 where
+    columns [h*D, (h+1)*D) are head h's weighted aggregation.  Replaces an
+    H-iteration loop of narrow (D-wide) gathers — narrow random gathers
+    are the measured bottleneck (BASELINE.md: access rate is width-
+    invariant, so H narrow gathers cost H times one wide gather)."""
+    W = b.rows_per_block
+    T, C = b.edge_src.shape
+    F = x.shape[-1]
+    H = edge_weight.shape[0]
+    B = b.num_blocks
+    assert C % 128 == 0 and F % H == 0
+
+    g = x.astype(compute_dtype)[b.edge_src]              # (T, C, F) gather
+    lr3 = b.edge_local_row.reshape(T, C // 128, 128)
+    w = jnp.moveaxis(edge_weight.astype(jnp.float32), 0, -1)  # (T, C, H)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, C // 128, 128), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, C, H), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, C, F), lambda t, cb: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((W, F), lambda t, cb: (cb[t], 0)),
+    )
+    out = pl.pallas_call(
+        _spmm_mw_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * W, F), jnp.float32),
+        interpret=interpret,
+    )(b.chunk_block, lr3, w, g)
     return out[: b.num_rows]
 
 
@@ -323,16 +406,18 @@ def gat_attend_blocked(b: BlockedCsr, h: jax.Array, alpha_src: jax.Array,
     per-head logits.  Returns (num_rows, H, d) float32.  Heads run as a
     python loop of single-head kernel calls (H is small and static).
     """
-    outs = []
-    for hd in range(alpha_src.shape[-1]):
+    N, H, D = h.shape
+    atts = []
+    for hd in range(H):
         logits = gat_edge_logits_blocked(b, alpha_src[:, hd],
                                          alpha_dst[:, hd],
                                          negative_slope=negative_slope)
-        att = edge_softmax_blocked(b, logits, interpret=interpret)
-        outs.append(spmm_blocked_weighted_pallas(
-            b, h[:, hd, :], att, compute_dtype=compute_dtype,
-            interpret=interpret))
-    return jnp.stack(outs, axis=1)
+        atts.append(edge_softmax_blocked(b, logits, interpret=interpret))
+    # ONE wide gather + one multi-head kernel instead of H narrow passes
+    out = spmm_blocked_multiweighted_pallas(
+        b, h.reshape(N, H * D), jnp.stack(atts, axis=0),
+        compute_dtype=compute_dtype, interpret=interpret)
+    return out.reshape(-1, H, D)
 
 
 def attend_blocked(b: BlockedCsr, x_dst: jax.Array, x_src: jax.Array, *,
