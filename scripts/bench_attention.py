@@ -73,9 +73,12 @@ def main():
     a_dst = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
 
     def chain(fn):
+        # each iteration's inputs depend on the carry (an epsilon shift):
+        # defeats CSE/hoisting so the timing reflects one full pipeline per
+        # iteration, the same discipline as the roofline chains
         def run(*args):
             def body(c, _):
-                out = fn(*args)
+                out = fn(c * 1e-30)
                 return (c + out).astype(jnp.float32), None
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
             return c
@@ -84,14 +87,15 @@ def main():
     rows = []
 
     # SDDMM
-    dt, cs = timed(chain(lambda: sddmm_blocked_pallas(b, x, x).sum()))
+    dt, cs = timed(chain(lambda e: sddmm_blocked_pallas(b, x + e, x + e)
+                         .sum()))
     rows.append(("sddmm", dt))
     log(f"sddmm               : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} Gedge/s "
         f"(compile {cs:.0f}s)")
 
-    # edge softmax over fixed scores
+    # edge softmax over per-iteration-shifted scores
     s0 = sddmm_blocked_pallas(b, x, x)
-    dt, cs = timed(chain(lambda: edge_softmax_blocked(b, s0).sum()))
+    dt, cs = timed(chain(lambda e: edge_softmax_blocked(b, s0 + e).sum()))
     rows.append(("edge_softmax", dt))
     log(f"edge_softmax        : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} Gedge/s "
         f"(compile {cs:.0f}s)")
@@ -99,20 +103,20 @@ def main():
     # weighted SpMM
     att0 = edge_softmax_blocked(b, s0)
     dt, cs = timed(chain(
-        lambda: spmm_blocked_weighted_pallas(b, x, att0).sum()))
+        lambda e: spmm_blocked_weighted_pallas(b, x + e, att0).sum()))
     rows.append(("weighted_spmm", dt))
     log(f"weighted_spmm       : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} Gedge/s "
         f"(compile {cs:.0f}s)")
 
     # full transformer-style attention (SDDMM + softmax + weighted SpMM)
-    dt, cs = timed(chain(lambda: attend_blocked(b, x, x).sum()))
+    dt, cs = timed(chain(lambda e: attend_blocked(b, x + e, x + e).sum()))
     rows.append(("attend_full", dt))
     log(f"attend (full)       : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} Gedge/s "
         f"(compile {cs:.0f}s)")
 
     # 4-head GAT aggregation
     dt, cs = timed(chain(
-        lambda: gat_attend_blocked(b, hh, a_src, a_dst).sum()))
+        lambda e: gat_attend_blocked(b, hh + e, a_src, a_dst).sum()))
     rows.append(("gat_4head", dt))
     log(f"gat 4-head (d=32)   : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} Gedge/s "
         f"(compile {cs:.0f}s)")

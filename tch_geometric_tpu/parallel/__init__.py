@@ -9,6 +9,7 @@ from .dist_sampling import (PartitionedGraph, build_partitioned_graph,
                             dist_sample_neighbors, make_partitioned_trainer)
 from .dist_walks import (dist_biased_tempo_random_walk, dist_random_walk,
                          dist_tempo_random_walk, effective_edge_ts)
-from .dist_budget import dist_budget_sample
+from .dist_budget import (dist_budget_sample,
+                          dist_budget_sample_hetero)
 from .dist_hgt import build_partitioned_hetero, dist_hgt_sample
 from . import multihost

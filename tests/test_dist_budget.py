@@ -134,3 +134,91 @@ def test_budget_temporal_filter(karate_csc, relative):
             if ok:
                 expect = 50 if relative else ts[e]
                 assert st[d][r] == expect
+
+
+# ---------------------------------------------------------------------------
+# typed (heterogeneous) distributed budget sampling
+# ---------------------------------------------------------------------------
+
+def _hetero_fixture():
+    from tch_geometric_tpu.data.io import load_fake_hetero_graph
+    from tch_geometric_tpu.data.storage import to_csc
+    from tch_geometric_tpu.utils.types import rel_key
+    xs, edge_idx = load_fake_hetero_graph()
+    node_counts = {t: int(x.shape[0]) for t, x in xs.items()}
+    edge_types = sorted(edge_idx.keys())
+    cp, ri = {}, {}
+    for e in edge_types:
+        r = rel_key(e)
+        a, b, _ = to_csc(np.asarray(edge_idx[e]),
+                         (node_counts[e[0]], node_counts[e[2]]))
+        cp[r], ri[r] = np.asarray(a), np.asarray(b)
+    return node_counts, edge_types, cp, ri
+
+
+def test_hetero_budget_device_count_invariance():
+    from tch_geometric_tpu.parallel.dist_budget import (
+        dist_budget_sample_hetero)
+    from tch_geometric_tpu.parallel.dist_hgt import build_partitioned_hetero
+    node_counts, edge_types, cp, ri = _hetero_fixture()
+    types = sorted(node_counts)
+    inputs = {types[0]: np.arange(8, dtype=np.int64)}
+    num_neighbors = {t: [3, 2] for t in types}
+    key = jax.random.key(31)
+    results = {}
+    for Pn in (1, 2, 4):
+        rels = build_partitioned_hetero(cp, ri, edge_types, Pn,
+                                        node_counts=node_counts)
+        (nodes, nts, nv, rows, cols, eptr, ev), ovf = \
+            dist_budget_sample_hetero(
+                key, rels, edge_types, inputs, num_neighbors, 2, _mesh(Pn),
+                capacity_factor=8.0)
+        assert int(np.asarray(ovf).sum()) == 0
+        res = {}
+        for t in nodes:
+            # reassemble global per-hop segments from per-device blocks
+            v = np.concatenate([np.asarray(nv[t][d]) for d in range(Pn)])
+            n = np.concatenate([np.asarray(nodes[t][d]) for d in range(Pn)])
+            # per-device layouts interleave; compare SETS per type of
+            # (node, state) among valid entries plus total counts
+            st = np.concatenate([np.asarray(nts[t][d]) for d in range(Pn)])
+            res[t] = (int(v.sum()),
+                      sorted(map(tuple, np.stack([n[v], st[v]], 1).tolist())))
+        for r in eptr:
+            e = np.concatenate([np.asarray(ev[r][d]) for d in range(Pn)])
+            ep = np.concatenate([np.asarray(eptr[r][d]) for d in range(Pn)])
+            res[r] = sorted(ep[e].tolist())
+        results[Pn] = res
+    for Pn in (2, 4):
+        assert results[1] == results[Pn], f"P={Pn} differs"
+
+
+def test_hetero_budget_edges_exist():
+    from tch_geometric_tpu.parallel.dist_budget import (
+        dist_budget_sample_hetero)
+    from tch_geometric_tpu.parallel.dist_hgt import build_partitioned_hetero
+    from tch_geometric_tpu.utils.types import rel_key
+    node_counts, edge_types, cp, ri = _hetero_fixture()
+    types = sorted(node_counts)
+    inputs = {types[0]: np.arange(8, dtype=np.int64)}
+    Pn = 4
+    rels = build_partitioned_hetero(cp, ri, edge_types, Pn,
+                                    node_counts=node_counts)
+    (nodes, _nts, nv, rows, cols, eptr, ev), _ = dist_budget_sample_hetero(
+        jax.random.key(1), rels, edge_types, inputs,
+        {t: [3, 2] for t in types}, 2, _mesh(Pn), capacity_factor=8.0)
+    for e in edge_types:
+        r = rel_key(e)
+        src_t, dst_t = e[0], e[2]
+        ip, rin = cp[r], ri[r]
+        for d in range(Pn):
+            for rr, cc, ee, ok in zip(np.asarray(rows[r][d]),
+                                      np.asarray(cols[r][d]),
+                                      np.asarray(eptr[r][d]),
+                                      np.asarray(ev[r][d])):
+                if not ok:
+                    continue
+                src = np.asarray(nodes[src_t][d])[rr]
+                dst = np.asarray(nodes[dst_t][d])[cc]
+                assert ip[dst] <= ee < ip[dst + 1]
+                assert rin[ee] == src
