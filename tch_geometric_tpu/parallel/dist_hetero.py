@@ -22,7 +22,7 @@ reassembles the global sample.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,7 @@ from ..sampling import rng
 from ..sampling.hetero_neighbor import HeteroLayout
 from ..utils.config import TemporalEdgeFilter
 from ..utils.types import NAN_TIMESTAMP, rel_key
-from .dist_sampling import PartitionedGraph, _owner_sample, exchange_rounds
+from .dist_sampling import _owner_sample, exchange_rounds
 
 NEG_INF = float("-inf")
 

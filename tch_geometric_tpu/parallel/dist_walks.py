@@ -35,15 +35,12 @@ node-timestamp table never needs to be consulted remotely.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..sampling import rng
 from ..sampling.neighbor import _select_lanes
 from ..sampling.walks import (WALK_BIAS_EXPONENTIAL, WALK_BIAS_LINEAR,
                               WALK_BIAS_UNIFORM)
