@@ -226,6 +226,129 @@ def edge_softmax_blocked(b: BlockedCsr, scores: jax.Array, *,
     return out.reshape(T, C)
 
 
+def _mz_mh_kernel(chunk_block_ref, lr_ref, s_ref, m_ref, z_ref):
+    """Multi-head online (max, expsum): head h's scores occupy lanes
+    [h*C, (h+1)*C) of the (1, 1, H*C) score row; stats tile is (1, W, H)
+    with head h in lane column h."""
+    t = pl.program_id(0)
+    blk = chunk_block_ref[t]
+    prev_blk = chunk_block_ref[jnp.maximum(t - 1, 0)]
+    first = jnp.logical_or(t == 0, blk != prev_blk)
+
+    lr = lr_ref[0].reshape(-1)                          # (C,) lanes
+    C = lr.shape[0]
+    W = m_ref.shape[-2]
+    H = m_ref.shape[-1]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+    oh = iota_w == lr[None, :]                          # (W, C)
+    ms, zs = [], []
+    for hd in range(H):
+        s = s_ref[0, 0, hd * C: (hd + 1) * C]           # (C,) lanes
+        masked = jnp.where(oh, s[None, :], NEG_INF)     # (W, C)
+        m_c = jnp.max(masked, axis=1, keepdims=True)    # (W, 1)
+        m_safe = jnp.where(jnp.isfinite(m_c), m_c, 0.0)
+        e = jnp.where(jnp.isfinite(masked), jnp.exp(masked - m_safe), 0.0)
+        ms.append(m_c)
+        zs.append(e.sum(axis=1, keepdims=True))
+    m_c = jnp.concatenate(ms, axis=1)                   # (W, H)
+    z_c = jnp.concatenate(zs, axis=1)
+
+    @pl.when(first)
+    def _():
+        m_ref[0] = m_c
+        z_ref[0] = z_c
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        m_old = m_ref[0]
+        z_old = z_ref[0]
+        m_new = jnp.maximum(m_old, m_c)
+        m_new_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        r_old = jnp.where(jnp.isfinite(m_old), jnp.exp(m_old - m_new_safe),
+                          0.0)
+        r_c = jnp.where(jnp.isfinite(m_c), jnp.exp(m_c - m_new_safe), 0.0)
+        m_ref[0] = m_new
+        z_ref[0] = z_old * r_old + z_c * r_c
+
+
+def _att_mh_kernel(chunk_block_ref, lr_ref, s_ref, m_ref, z_ref, out_ref):
+    lr = lr_ref[0].reshape(-1)                          # (C,) lanes
+    C = lr.shape[0]
+    W = m_ref.shape[-2]
+    H = m_ref.shape[-1]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+    ohT = iota_w == lr[None, :]                         # (W, C)
+    outs = []
+    for hd in range(H):
+        s = s_ref[0, 0, hd * C: (hd + 1) * C]
+        m2 = m_ref[0, :, hd: hd + 1]                    # (W, 1)
+        z2 = z_ref[0, :, hd: hd + 1]
+        m_e = jnp.where(ohT, m2, NEG_INF).max(axis=0)   # (C,) lanes
+        z_e = jnp.where(ohT, z2, 0.0).sum(axis=0)
+        outs.append(jnp.where(
+            jnp.isfinite(m_e) & (z_e > 0.0),
+            jnp.exp(s - jnp.where(jnp.isfinite(m_e), m_e, 0.0))
+            / jnp.maximum(z_e, 1e-38), 0.0))
+    out_ref[0, 0, :] = jnp.concatenate(outs, axis=0)    # (H*C,)
+
+
+def edge_softmax_blocked_multihead(b: BlockedCsr, scores: jax.Array, *,
+                                   interpret: bool = False) -> jax.Array:
+    """Per-dst-row softmax for H heads in ONE two-pass traversal.
+
+    ``scores``: (H, T, C) f32.  Returns (H, T, C) attention weights.  The
+    single-head version walks the chunk list (and reloads each chunk's
+    local-row block) once per head; here the (max, expsum) recurrence for
+    every head rides one traversal with an (W, H) stats tile."""
+    W = b.rows_per_block
+    T, C = b.edge_src.shape
+    B = b.num_blocks
+    H = scores.shape[0]
+    assert C % 128 == 0 and W % 128 == 0
+    lr3 = b.edge_local_row.reshape(T, C // 128, 128)
+    # head h -> lanes [h*C, (h+1)*C) of a (T, 1, H*C) row
+    s3 = jnp.moveaxis(scores, 0, 1).reshape(T, 1, H * C)
+
+    grid_mz = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, C // 128, 128), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, 1, H * C), lambda t, cb: (t, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, W, H), lambda t, cb: (cb[t], 0, 0)),
+            pl.BlockSpec((1, W, H), lambda t, cb: (cb[t], 0, 0)),
+        ],
+    )
+    m, z = pl.pallas_call(
+        _mz_mh_kernel,
+        grid_spec=grid_mz,
+        out_shape=[jax.ShapeDtypeStruct((B, W, H), jnp.float32),
+                   jax.ShapeDtypeStruct((B, W, H), jnp.float32)],
+        interpret=interpret,
+    )(b.chunk_block, lr3, s3)
+
+    grid_att = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, C // 128, 128), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, 1, H * C), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, W, H), lambda t, cb: (cb[t], 0, 0)),
+            pl.BlockSpec((1, W, H), lambda t, cb: (cb[t], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, H * C), lambda t, cb: (t, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _att_mh_kernel,
+        grid_spec=grid_att,
+        out_shape=jax.ShapeDtypeStruct((T, 1, H * C), jnp.float32),
+        interpret=interpret,
+    )(b.chunk_block, lr3, s3, m, z)
+    return jnp.moveaxis(out.reshape(T, H, C), 1, 0)
+
+
 # ---------------------------------------------------------------------------
 # Weighted SpMM (attention-weighted aggregation)
 # ---------------------------------------------------------------------------
@@ -407,15 +530,18 @@ def gat_attend_blocked(b: BlockedCsr, h: jax.Array, alpha_src: jax.Array,
     python loop of single-head kernel calls (H is small and static).
     """
     N, H, D = h.shape
-    atts = []
-    for hd in range(H):
-        logits = gat_edge_logits_blocked(b, alpha_src[:, hd],
-                                         alpha_dst[:, hd],
-                                         negative_slope=negative_slope)
-        atts.append(edge_softmax_blocked(b, logits, interpret=interpret))
-    # ONE wide gather + one multi-head kernel instead of H narrow passes
+    # per-head additive logits (alpha gathers fuse across heads in XLA:
+    # both tables are (N, H), one row fetch serves every head)
+    rows = jnp.clip(blocked_dst_rows(b), 0, alpha_dst.shape[0] - 1)
+    logits = jax.nn.leaky_relu(
+        alpha_src[b.edge_src].astype(jnp.float32)
+        + alpha_dst[rows].astype(jnp.float32), negative_slope)  # (T, C, H)
+    # ONE multi-head softmax traversal + ONE wide gather + one multi-head
+    # weighted kernel instead of H full passes
+    atts = edge_softmax_blocked_multihead(
+        b, jnp.moveaxis(logits, -1, 0), interpret=interpret)
     out = spmm_blocked_multiweighted_pallas(
-        b, h.reshape(N, H * D), jnp.stack(atts, axis=0),
+        b, h.reshape(N, H * D), atts,
         compute_dtype=compute_dtype, interpret=interpret)
     return out.reshape(-1, H, D)
 

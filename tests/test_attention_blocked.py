@@ -151,3 +151,26 @@ def test_gat_conv_blocked_matches_xla(graph):
     out = conv.apply(params, x, g, blocked=b)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_edge_softmax_multihead_matches_per_head():
+    """The one-traversal multi-head softmax must equal H independent
+    single-head passes."""
+    import jax.numpy as jnp
+    from tch_geometric_tpu.ops.attention_blocked import (
+        edge_softmax_blocked, edge_softmax_blocked_multihead)
+    from tch_geometric_tpu.ops.spmm_blocked import build_blocked
+    rng = np.random.default_rng(3)
+    N, E, H = 300, 2000, 4
+    dst = np.sort(rng.integers(0, N, E))
+    src = rng.integers(0, N, E)
+    indptr = np.searchsorted(dst, np.arange(N + 1)).astype(np.int32)
+    b = build_blocked(indptr, src.astype(np.int32), rows_per_block=128,
+                      chunk_edges=256)
+    scores = jnp.asarray(rng.normal(size=(H,) + b.edge_src.shape)
+                         .astype(np.float32))
+    mh = np.asarray(edge_softmax_blocked_multihead(b, scores,
+                                                   interpret=True))
+    for hd in range(H):
+        sh = np.asarray(edge_softmax_blocked(b, scores[hd], interpret=True))
+        np.testing.assert_allclose(mh[hd], sh, rtol=1e-6, atol=1e-7)
