@@ -70,11 +70,15 @@ def bench_tpu(indptr, indices):
     float(f_chain(graph, x))
     log(f"compile+first run: {time.time()-t0:.1f}s")
 
+    from tch_geometric_tpu.utils.metrics import MetricsLogger
+    mlog = MetricsLogger()          # JSON-lines per-step metrics on stderr
+    mlog.step(0)
     times = []
-    for _ in range(3):
+    for it in range(3):
         t0 = time.perf_counter()
         float(f_chain(graph, x))    # host fetch = true barrier
         times.append(time.perf_counter() - t0)
+        mlog.step(it + 1, edges=E * K)
     dt = float(np.median(times)) / K
     log(f"tpu spmm {dt*1e3:.2f} ms/iter -> {E/dt/1e9:.2f} Gedge/s")
 

@@ -79,6 +79,13 @@ walks, wts, _ = dist_biased_tempo_random_walk(
     capacity_factor=4.0)
 print(f"CTDNE walks: {np.asarray(walks).reshape(8, 8)[0]}")
 
+# -- distributed negative sampling ----------------------------------------
+from tch_geometric_tpu.parallel.dist_negative import dist_negative_sample
+
+w, acc, _ = dist_negative_sample(key, g, seeds, 5, 20, mesh,
+                                 capacity_factor=4.0)
+print(f"negative: {int(np.asarray(acc).sum())}/40 accepted non-edges")
+
 # -- distributed HGT (homogeneous projection: 1 type, 1 relation) ---------
 rels = build_partitioned_hetero({"v__r__v": np.asarray(cp)},
                                 {"v__r__v": np.asarray(ri)},

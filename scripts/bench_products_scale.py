@@ -24,10 +24,17 @@ seeds = jnp.arange(B)
 t0=time.time(); state = init_fn(key, graph, x, seeds); print("init:", round(time.time()-t0,1), flush=True)
 t0=time.time(); state, loss, acc = train_step(state, key, graph, x, seeds, labels[seeds]); float(loss)
 print("compile+step:", round(time.time()-t0,1), flush=True)
+from tch_geometric_tpu.utils.metrics import MetricsLogger, trace_span
+mlog = MetricsLogger()            # JSON-lines step metrics on stderr
 K=10
 t0=time.perf_counter()
 for i in range(K):
-    state, loss, acc = train_step(state, key, graph, x, seeds, labels[seeds])
+    with trace_span("train_step"):
+        state, loss, acc = train_step(state, key, graph, x, seeds, labels[seeds])
+    # no host fetch here (a per-step tunnel sync would pollute the timing);
+    # step_time reflects dispatch cadence, the final fetch below is the
+    # barrier for the aggregate number
+    mlog.step(i, batch_size=B)
 float(loss)
 dt=(time.perf_counter()-t0)/K
 print(f"products-scale train step: {dt*1e3:.1f} ms -> {1/dt:.1f} minibatches/s  loss={float(loss):.3f}", flush=True)

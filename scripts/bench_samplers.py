@@ -31,11 +31,13 @@ from tch_geometric_tpu.sampling.walks import (
     _random_walk_impl, _tempo_walk_impl, _csr_from_parts)
 from tch_geometric_tpu.sampling.negative import _negative_candidates
 from tch_geometric_tpu.utils.config import UniformEdgeSampler, WeightedEdgeSampler
+from tch_geometric_tpu.utils.metrics import MetricsLogger
 
 K = int(os.environ.get("BENCH_K", 20))
 B = int(os.environ.get("BENCH_B", 512))
 SCALE = float(os.environ.get("BENCH_SCALE", 1.0))
 results = {}
+mlog = MetricsLogger()            # JSON-lines result records on stderr
 
 
 def chain_time(name, call, key):
@@ -65,6 +67,8 @@ def chain_time(name, call, key):
         best = min(best, (time.perf_counter() - t0) / K)
     dt = best
     print(f"{name}: {dt*1e3:.2f} ms/batch -> {1/dt:.1f} batches/s", flush=True)
+    mlog.event(sampler=name, ms_per_batch=round(dt * 1e3, 2),
+               batches_per_s=round(1 / dt, 1))
     results[name] = round(1 / dt, 1)
     return dt
 

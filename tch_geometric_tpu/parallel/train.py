@@ -57,26 +57,30 @@ def make_gnn_trainer(
 
     def sample_and_gather(key, graph, x_table, seeds):
         zeros = jnp.zeros((seeds.shape[0],), jnp.int32)
-        sample = _sample_neighbors_impl(
-            key, graph, seeds.astype(jnp.int32), zeros, None, None,
-            fanouts, with_replacement, None, window)
+        with jax.named_scope("sample"):
+            sample = _sample_neighbors_impl(
+                key, graph, seeds.astype(jnp.int32), zeros, None, None,
+                fanouts, with_replacement, None, window)
         # No validity mask on the gathered features: invalid slots clip to
         # node 0's (finite) features, and every path from a non-seed slot to
         # a seed logit passes through tree_neighbor_mean's child mask, so
         # seed outputs are identical with or without masking — and the mask
         # costs a full read+write pass over the gathered tensor (measured
         # 0.8 ms/minibatch at products scale, scripts/micro_step_bisect.py).
-        x = x_table[jnp.clip(sample.nodes, 0, x_table.shape[0] - 1)]
+        with jax.named_scope("gather"):
+            x = x_table[jnp.clip(sample.nodes, 0, x_table.shape[0] - 1)]
         return sample, x
 
     def loss_fn(params, key, graph, x_table, seeds, labels,
                 deterministic=True):
         sample, x = sample_and_gather(key, graph, x_table, seeds)
-        logits = model.apply(params, sample, x, deterministic=deterministic,
-                             rngs={"dropout": rng.fold(key, rng.DROPOUT_STREAM)},
-                             method=tree_forward)
-        loss = optax.softmax_cross_entropy_with_integer_labels(
-            logits, labels).mean()
+        with jax.named_scope("forward"):
+            logits = model.apply(params, sample, x,
+                                 deterministic=deterministic,
+                                 rngs={"dropout": rng.fold(key, rng.DROPOUT_STREAM)},
+                                 method=tree_forward)
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
         return loss, logits
 
     def init_fn(key, graph, x_table, seeds):
@@ -90,8 +94,10 @@ def make_gnn_trainer(
         step_key = rng.fold(key, state.step)
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, step_key, graph, x_table, seeds, labels, False)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        with jax.named_scope("update"):
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
         acc = (logits.argmax(-1) == labels).mean()
         return TrainState(params, opt_state, state.step + 1), loss, acc
 

@@ -58,3 +58,10 @@ class MetricsLogger:
         self.stream.write(json.dumps(rec) + "\n")
         self.stream.flush()
         return rec
+
+    def event(self, **fields):
+        """One structured JSON-lines record outside the step cadence
+        (benchmark results, phase summaries)."""
+        self.stream.write(json.dumps(fields) + "\n")
+        self.stream.flush()
+        return fields

@@ -1,0 +1,85 @@
+"""Distributed negative sampling over a partitioned topology
+(parallel/dist_negative).
+
+Pins (a) device-count invariance — P=1, P=2, P=4 produce bit-identical
+(w, accepted) — and (b) the reference's negative-sampling invariant
+(negative_sampling.rs:167-170): every accepted pair is a NON-edge and not
+a self-loop, in the probe direction selected by ``inbound``.
+"""
+import numpy as np
+import jax
+import pytest
+from jax.sharding import Mesh
+
+from tch_geometric_tpu.data.io import load_karate_graph
+from tch_geometric_tpu.data.storage import to_csr
+from tch_geometric_tpu.parallel.dist_negative import dist_negative_sample
+from tch_geometric_tpu.parallel.dist_sampling import build_partitioned_graph
+
+
+def _mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), ("data",))
+
+
+@pytest.fixture(scope="module")
+def karate_csr():
+    _x, _y, edge_index = load_karate_graph()
+    row_ptrs, col_indices, _perm = to_csr(np.asarray(edge_index), 34)
+    return np.asarray(row_ptrs), np.asarray(col_indices)
+
+
+def _has_edge(indptr, indices, u, v):
+    return v in indices[indptr[u]: indptr[u + 1]]
+
+
+@pytest.mark.parametrize("ell_table", [True, False])
+@pytest.mark.parametrize("inbound", [False, True])
+def test_invariance_and_nonedge(karate_csr, ell_table, inbound):
+    indptr, indices = karate_csr
+    inputs = np.arange(8, dtype=np.int32)
+    key = jax.random.key(7)
+    num_neg, try_count = 5, 20
+    results = {}
+    for Pn in (1, 2, 4):
+        g = build_partitioned_graph(indptr, indices, Pn, ell_table=ell_table)
+        w, acc, ovf = dist_negative_sample(
+            key, g, inputs, num_neg, try_count, _mesh(Pn), inbound=inbound,
+            capacity_factor=8.0)
+        assert int(np.asarray(ovf).sum()) == 0
+        results[Pn] = (np.asarray(w).reshape(8, num_neg),
+                       np.asarray(acc).reshape(8, num_neg))
+    for Pn in (2, 4):
+        np.testing.assert_array_equal(results[1][0], results[Pn][0])
+        np.testing.assert_array_equal(results[1][1], results[Pn][1])
+
+    w, acc = results[1]
+    assert acc.sum() > 0          # karate is sparse: negatives are plentiful
+    for i in range(8):
+        for n in range(num_neg):
+            if not acc[i, n]:
+                continue
+            ww = int(w[i, n])
+            assert ww != int(inputs[i])
+            u, v = ((ww, int(inputs[i])) if inbound
+                    else (int(inputs[i]), ww))
+            assert not _has_edge(indptr, indices, u, v)
+
+
+def test_accept_rate_matches_density():
+    """On a dense-ish random graph the accept rate over single trials must
+    track 1 - density (each candidate is uniform over nodes)."""
+    rng = np.random.default_rng(1)
+    N = 64
+    dense = rng.random((N, N)) < 0.5
+    np.fill_diagonal(dense, False)
+    src, dst = np.nonzero(dense)
+    order = np.argsort(src, kind="stable")
+    indices = dst[order].astype(np.int64)
+    indptr = np.searchsorted(src[order], np.arange(N + 1)).astype(np.int64)
+    inputs = np.arange(32, dtype=np.int32)
+    g = build_partitioned_graph(indptr, indices, 2, ell_table=False)
+    w, acc, ovf = dist_negative_sample(
+        jax.random.key(0), g, inputs, 64, 1, _mesh(2), capacity_factor=8.0)
+    assert int(np.asarray(ovf).sum()) == 0
+    rate = float(np.asarray(acc).mean())
+    assert 0.35 < rate < 0.62     # ~1 - density - 1/N self-loop mass
