@@ -13,5 +13,5 @@ from .dist_budget import (dist_budget_sample,
                           dist_budget_sample_hetero)
 from .dist_hgt import build_partitioned_hetero, dist_hgt_sample
 from .dist_hetero import dist_hetero_neighbor_sample
-from .dist_negative import dist_negative_sample
+from .dist_negative import dist_negative_sample, dist_negative_sample_hetero
 from . import multihost

@@ -188,3 +188,167 @@ def _dist_negative_fn(mesh, axis, Pn, num_neg, try_count, inbound,
         return w[None], accepted[None], ovf[None]
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Typed (heterogeneous) distributed negative sampling
+# ---------------------------------------------------------------------------
+
+def _probe_exists(g: PartitionedGraph, v, cand, *, inbound, axis, num_parts,
+                  capacity_factor, num_rounds):
+    """Edge-existence probes for one relation: ``v (L,)`` inputs ×
+    ``cand (L, K)`` candidates.  Returns (exists (L, K) bool, overflow)."""
+    L, K = cand.shape
+    if not inbound:
+        gid = jnp.clip(v, 0, max(g.num_nodes - 1, 0))
+        owner = (gid % num_parts).astype(jnp.int32)
+        local = (gid // num_parts).astype(jnp.int32)
+        payload = jnp.concatenate([local[:, None], cand], axis=-1)
+        cap = _capacity(L, num_parts, capacity_factor)
+        res, got, overflow = exchange_rounds(
+            payload, owner, jnp.ones((L,), jnp.bool_),
+            lambda recv: _owner_membership(g, recv, K), axis=axis,
+            num_parts=num_parts, capacity=cap, num_rounds=num_rounds,
+            ret_cols=K)
+        exists = (res != 0) | ~got[:, None]
+    else:
+        cflat = cand.reshape(-1)
+        gid = jnp.clip(cflat, 0, max(g.num_nodes - 1, 0))
+        owner = (gid % num_parts).astype(jnp.int32)
+        local = (gid // num_parts).astype(jnp.int32)
+        vflat = jnp.broadcast_to(v[:, None], (L, K)).reshape(-1)
+        payload = jnp.stack([local, vflat], axis=-1)
+        cap = _capacity(L * K, num_parts, capacity_factor)
+        res, got, overflow = exchange_rounds(
+            payload, owner, jnp.ones((L * K,), jnp.bool_),
+            lambda recv: _owner_membership(g, recv, 1), axis=axis,
+            num_parts=num_parts, capacity=cap, num_rounds=num_rounds,
+            ret_cols=1)
+        exists = ((res[:, 0] != 0) | ~got).reshape(L, K)
+    return exists, overflow
+
+
+def _dist_negative_hetero_device(key, rels, inputs, *, dev, meta, axis):
+    (node_types, type_rels, dst_counts, num_neg, try_count, inbound,
+     capacity_factor, num_rounds, Pn) = meta
+    K = num_neg * try_count
+    out_w, out_acc, out_rel = {}, {}, {}
+    overflow = jnp.zeros((), jnp.int32)
+    for ti, t in enumerate(node_types):
+        v = inputs[t].astype(jnp.int32)          # (L,) type-local global ids
+        L = v.shape[0]
+        t_rels = type_rels[ti][1]
+        R = len(t_rels)
+        if L == 0 or R == 0:
+            out_w[t] = jnp.zeros((L, num_neg), jnp.int32)
+            out_acc[t] = jnp.zeros((L, num_neg), jnp.bool_)
+            out_rel[t] = jnp.zeros((L, num_neg), jnp.int32)
+            continue
+        uid = (dev * L + jnp.arange(L, dtype=jnp.int32)).astype(jnp.uint32)
+        tkey = rng.fold(key, ti)
+        # uniformly random outgoing relation per (input, neg) (rs:104)
+        rkeys = _uid_keys(rng.fold(tkey, 0), uid)
+        rel_choice = jax.vmap(lambda kk: jax.random.randint(
+            kk, (num_neg,), 0, R, dtype=jnp.int32))(rkeys)
+        cands, oks = [], []
+        for ri, (r, dst_t) in enumerate(t_rels):
+            g = rels[r]
+            ckeys = _uid_keys(rng.fold(tkey, 1 + ri), uid)
+            n_dst = max(dict(dst_counts)[dst_t], 1)
+            cand = jax.vmap(lambda kk: jax.random.randint(
+                kk, (K,), 0, n_dst, dtype=jnp.int32))(ckeys)
+            exists, ovf = _probe_exists(
+                g, v, cand, inbound=inbound, axis=axis, num_parts=Pn,
+                capacity_factor=capacity_factor, num_rounds=num_rounds)
+            overflow = overflow + ovf
+            cands.append(cand)
+            oks.append((~exists) & (cand != v[:, None]))
+        cand = jnp.stack(cands)                  # (R, L, K)
+        ok = jnp.stack(oks)
+        # select the chosen relation's candidates per (input, neg)
+        sel = rel_choice.T[:, :, None, None]     # (num_neg, L, 1, 1) rel idx
+        candn = cand.reshape(R, L, num_neg, try_count)
+        okn = ok.reshape(R, L, num_neg, try_count)
+        candc = jnp.take_along_axis(
+            candn.transpose(2, 1, 0, 3), sel, axis=2)[:, :, 0]  # (neg, L, try)
+        okc = jnp.take_along_axis(
+            okn.transpose(2, 1, 0, 3), sel, axis=2)[:, :, 0]
+        del candn, okn
+        first = jnp.argmax(okc, axis=-1)
+        out_acc[t] = jnp.any(okc, axis=-1).T             # (L, num_neg)
+        out_w[t] = jnp.take_along_axis(
+            candc, first[..., None], axis=-1)[..., 0].T
+        out_rel[t] = rel_choice
+    return out_w, out_acc, out_rel, overflow
+
+
+def dist_negative_sample_hetero(key, rels, edge_types, inputs, num_neg: int,
+                                try_count: int, mesh: Mesh, *,
+                                node_counts, inbound: bool = False,
+                                axis: str = "data",
+                                capacity_factor: float = 1.3,
+                                num_rounds: int = 1):
+    """Typed distributed negative sampling (negative_sampling.rs:50-131
+    over a partition).
+
+    ``rels``: dict rel_key -> :class:`PartitionedGraph` built from each
+    relation's **CSR** (row = src node's out-neighbors — the same layout
+    :func:`~..sampling.negative.negative_sample_neighbors_heterogenous`
+    takes; ``build_partitioned_hetero`` partitions whatever ptr/indices
+    you hand it).  Per input of type ``t``: a uniformly random outgoing
+    relation of ``t`` (keyed per global input uid), then first-accept
+    rejection over ``try_count`` uniform candidates in that relation's dst
+    space, probed at the owning device (``inbound`` flips the probe
+    direction, rs:112-115).  Every relation's probe exchange runs for all
+    inputs (static shapes); candidates and accepts are bit-identical for
+    any device count.
+
+    Returns ``(w, accepted, rel_choice)`` dicts of per-type arrays with a
+    leading device axis (``(P, L_t, num_neg)``) plus ``overflow (P,)``;
+    ``rel_choice[t][d, i, n]`` indexes type ``t``'s ordered outgoing
+    relation list (order of first appearance in ``edge_types``)."""
+    Pn = int(mesh.shape[axis])
+    from ..utils.types import rel_key as _rk
+    edge_types = [tuple(e) for e in edge_types]
+    node_types = sorted({tt for e in edge_types for tt in (e[0], e[2])})
+    node_rels = {}
+    for (src, rel, dst) in edge_types:
+        node_rels.setdefault(src, []).append((_rk((src, rel, dst)), dst))
+    type_rels = tuple(
+        (t, tuple(node_rels.get(t, []))) for t in node_types)
+    dst_counts = tuple(sorted({t: int(n) for t, n in node_counts.items()}
+                              .items()))
+    inputs = {t: np.asarray(inputs.get(t, np.zeros((0,), np.int64)))
+              for t in node_types}
+    for t, vv in inputs.items():
+        assert vv.shape[0] % Pn == 0, (t, vv.shape, Pn)
+    meta = (tuple(node_types), type_rels, dst_counts, int(num_neg),
+            int(try_count), bool(inbound), float(capacity_factor),
+            int(num_rounds), Pn)
+    run = _dist_negative_hetero_fn(mesh, axis, meta)
+    from .multihost import put_partitioned
+    with mesh:
+        rels_put = {r: put_partitioned(rels[r], mesh, P(axis))
+                    for _t, trs in type_rels for r, _d in trs}
+        inputs_put = {t: put_partitioned(
+            jnp.asarray(inputs[t], jnp.int32), mesh, P(axis))
+            for t in node_types}
+        w, acc, rc, ovf = run(key, rels_put, inputs_put)
+    return w, acc, rc, ovf
+
+
+@functools.lru_cache(maxsize=64)
+def _dist_negative_hetero_fn(mesh, axis, meta):
+    repl, shard = P(), P(axis)
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh, in_specs=(repl, shard, shard),
+                       out_specs=(shard, shard, shard, shard))
+    def run(key, rels, inputs):
+        dev = jax.lax.axis_index(axis)
+        w, acc, rc, ovf = _dist_negative_hetero_device(
+            key, rels, inputs, dev=dev, meta=meta, axis=axis)
+        add_dev = lambda d: {kk: vv[None] for kk, vv in d.items()}
+        return add_dev(w), add_dev(acc), add_dev(rc), ovf[None]
+
+    return run

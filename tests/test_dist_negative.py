@@ -65,6 +65,65 @@ def test_invariance_and_nonedge(karate_csr, ell_table, inbound):
             assert not _has_edge(indptr, indices, u, v)
 
 
+def test_hetero_invariance_and_nonedge():
+    """Typed distributed negative sampling: P=1/2/4 bit-identical, accepted
+    pairs are non-edges in the CHOSEN relation (negative_sampling.rs:50-131
+    semantics: per-input uniform outgoing relation + rejection in its dst
+    space)."""
+    from tch_geometric_tpu.data.io import load_fake_hetero_graph
+    from tch_geometric_tpu.data.storage import to_csr
+    from tch_geometric_tpu.parallel.dist_hgt import build_partitioned_hetero
+    from tch_geometric_tpu.parallel.dist_negative import (
+        dist_negative_sample_hetero)
+    from tch_geometric_tpu.utils.types import rel_key
+
+    xs, edge_idx = load_fake_hetero_graph()
+    node_counts = {t: int(x.shape[0]) for t, x in xs.items()}
+    edge_types = sorted(edge_idx.keys())
+    rp, ci = {}, {}
+    csr_np = {}
+    for e in edge_types:
+        r = rel_key(e)
+        a, b, _ = to_csr(np.asarray(edge_idx[e]),
+                         (node_counts[e[0]], node_counts[e[2]]))
+        rp[r], ci[r] = np.asarray(a), np.asarray(b)
+        csr_np[r] = (rp[r], ci[r])
+    types = sorted(node_counts)
+    inputs = {types[0]: np.arange(8, dtype=np.int64)}
+    key = jax.random.key(11)
+    num_neg, try_count = 4, 10
+    results = {}
+    for Pn in (1, 2, 4):
+        rels = build_partitioned_hetero(rp, ci, edge_types, Pn,
+                                        node_counts=node_counts)
+        w, acc, rc, ovf = dist_negative_sample_hetero(
+            key, rels, edge_types, inputs, num_neg, try_count, _mesh(Pn),
+            node_counts=node_counts, capacity_factor=8.0)
+        assert int(np.asarray(ovf).sum()) == 0
+        results[Pn] = {t: (np.asarray(w[t]).reshape(-1, num_neg),
+                           np.asarray(acc[t]).reshape(-1, num_neg),
+                           np.asarray(rc[t]).reshape(-1, num_neg))
+                       for t in w}
+    for Pn in (2, 4):
+        for t in results[1]:
+            for a, b2 in zip(results[1][t], results[Pn][t]):
+                np.testing.assert_array_equal(a, b2)
+
+    # accepted pairs are non-edges of the chosen relation
+    t0 = types[0]
+    t_rels = [(rel_key(e), e[2]) for e in edge_types if e[0] == t0]
+    w, acc, rc = results[1][t0]
+    assert acc.sum() > 0
+    for i in range(8):
+        for n in range(num_neg):
+            if not acc[i, n]:
+                continue
+            r, _dst = t_rels[int(rc[i, n])]
+            indptr, indices = csr_np[r]
+            assert int(w[i, n]) != i   # numeric self-loop guard (rs parity)
+            assert not _has_edge(indptr, indices, i, int(w[i, n]))
+
+
 def test_accept_rate_matches_density():
     """On a dense-ish random graph the accept rate over single trials must
     track 1 - density (each candidate is uniform over nodes)."""
