@@ -1,8 +1,8 @@
-"""GCN and GAT — additional message-passing model families.
+"""GCN, GAT and GIN — additional message-passing model families.
 
-Both consume the same graph containers as GraphSAGE: full-graph CSR/CSC via
+All consume the same graph containers as GraphSAGE: full-graph CSR/CSC via
 SpMM/SDDMM, and padded tree samples via dense reshape attention (GAT) /
-normalized mean (GCN).
+normalized mean (GCN) / masked child sum into an MLP (GIN).
 """
 from __future__ import annotations
 
@@ -167,6 +167,87 @@ class GATConv(nn.Module):
         att = jax.nn.softmax(logits, axis=1)
         att = jnp.where(mask[..., None], att, 0.0)
         return (hc * att[..., None]).sum(axis=1).reshape(B, H * d)
+
+
+class GINConv(nn.Module):
+    """Graph Isomorphism Network layer: ``MLP((1+eps)·h_v + Σ_u h_u)``.
+
+    Sum aggregation (the injective choice from the GIN paper) over the
+    full graph (CSR SpMM) or a padded tree batch (masked child sum — the
+    same scatter-free depth sweep as GCNConv).  ``eps`` is learnable,
+    initialized to 0 (PyG ``train_eps=True`` semantics)."""
+
+    features: int
+    hidden: Optional[int] = None          # MLP hidden width (default feats)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, graph: Optional[SparseGraph] = None, *,
+                 sample: Optional[NeighborSample] = None,
+                 keep_depths: Optional[int] = None):
+        eps = self.param("eps", nn.initializers.zeros, ())
+        if sample is not None:
+            outs = []
+            for d in range(keep_depths):
+                k = sample.fanouts[d]
+                lo, hi = sample.node_base[d], sample.node_base[d + 1]
+                clo, chi = sample.node_base[d + 1], sample.node_base[d + 2]
+                child = x[clo:chi].reshape(hi - lo, k, -1)
+                cm = sample.node_valid[clo:chi].reshape(hi - lo, k, 1)
+                outs.append((child * cm.astype(x.dtype)).sum(axis=1))
+            n_keep = sample.node_base[keep_depths]
+            agg = jnp.concatenate(outs, axis=0)
+            h = (1.0 + eps) * x[:n_keep] + agg
+        else:
+            agg = spmm(graph, x, agg="sum")
+            h = (1.0 + eps) * x + agg
+        width = self.hidden if self.hidden is not None else self.features
+        h = nn.Dense(width, dtype=self.dtype, kernel_init=torch_kernel_init,
+                     bias_init=torch_bias_init(h.shape[-1]))(h)
+        h = nn.relu(h)
+        return nn.Dense(self.features, dtype=self.dtype,
+                        kernel_init=torch_kernel_init,
+                        bias_init=torch_bias_init(width))(h)
+
+
+class GIN(nn.Module):
+    hidden: int
+    out: int
+    num_layers: int
+    dtype: Optional[jnp.dtype] = None
+    dropout: float = 0.0
+
+    def setup(self):
+        feats = [self.hidden] * (self.num_layers - 1) + [self.out]
+        self.convs = [GINConv(f, hidden=self.hidden, dtype=self.dtype,
+                              name=f"GINConv_{i}")
+                      for i, f in enumerate(feats)]
+        self.drop = nn.Dropout(rate=self.dropout)
+
+    def _act(self, h, i, deterministic):
+        if i < self.num_layers - 1:
+            h = nn.relu(h)
+            if self.dropout > 0.0:
+                h = self.drop(h, deterministic=deterministic)
+        return h
+
+    def __call__(self, x, graph: SparseGraph, *, deterministic: bool = True):
+        h = x
+        for i, conv in enumerate(self.convs):
+            h = conv(h, graph)
+            h = self._act(h, i, deterministic)
+        return h
+
+    def tree_forward(self, sample: NeighborSample, x, *,
+                     deterministic: bool = True):
+        """Sampled-tree forward (see GraphSAGE.tree_forward): returns
+        seed-node logits (num_seeds, out)."""
+        assert sample.num_hops >= self.num_layers
+        h = x
+        for j, conv in enumerate(self.convs):
+            h = conv(h, sample=sample, keep_depths=sample.num_hops - j)
+            h = self._act(h, j, deterministic)
+        return h[: sample.node_base[1]]
 
 
 class GCN(nn.Module):
