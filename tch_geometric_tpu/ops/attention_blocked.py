@@ -70,19 +70,24 @@ def _sddmm_kernel(chunk_block_ref, lr_sub_ref, g_ref, xd_ref, out_ref):
 
 def sddmm_blocked_pallas(b: BlockedCsr, x_dst: jax.Array, x_src: jax.Array,
                          *, compute_dtype=jnp.bfloat16,
+                         gathered: jax.Array | None = None,
                          interpret: bool = False) -> jax.Array:
     """Per-edge dot scores in blocked edge layout.
 
     Returns ``(T, C)`` float32; lanes with ``~b.edge_valid`` hold 0 (their
     one-hot row is empty).  Same semantics as ``ops.spmm.sddmm`` modulo the
     edge ordering, which is the blocked layout's chunk order.
+    ``gathered``: optional pre-gathered ``x_src[b.edge_src]`` (T, C, F) —
+    pass it when a downstream kernel reads the same gather (attend_blocked)
+    so the 12 ms random gather is paid once, not per kernel.
     """
     W = b.rows_per_block
     T, C = b.edge_src.shape
     F = x_src.shape[-1]
     assert C % 128 == 0, "chunk_edges must be a multiple of 128"
 
-    g = x_src.astype(compute_dtype)[b.edge_src]          # (T, C, F) gather
+    g = (gathered if gathered is not None
+         else x_src.astype(compute_dtype)[b.edge_src])   # (T, C, F) gather
     xd = _pad_dst(b, x_dst.astype(compute_dtype))
     # sublane-major local rows: invalid lanes carry W (no one-hot match)
     lr_sub = b.edge_local_row.reshape(T, C, 1)
@@ -278,18 +283,20 @@ def _att_mh_kernel(chunk_block_ref, lr_ref, s_ref, m_ref, z_ref, out_ref):
     H = m_ref.shape[-1]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
     ohT = iota_w == lr[None, :]                         # (W, C)
-    outs = []
+    # per-head lane-offset stores: a cross-tile lane concatenate
+    # ((C,)*H -> (H*C,)) does not lower on real Mosaic ("input offsets
+    # outside of the first tile"); sliced stores at C-aligned offsets do —
+    # the same addressing the loads above already use.
     for hd in range(H):
         s = s_ref[0, 0, hd * C: (hd + 1) * C]
         m2 = m_ref[0, :, hd: hd + 1]                    # (W, 1)
         z2 = z_ref[0, :, hd: hd + 1]
         m_e = jnp.where(ohT, m2, NEG_INF).max(axis=0)   # (C,) lanes
         z_e = jnp.where(ohT, z2, 0.0).sum(axis=0)
-        outs.append(jnp.where(
+        out_ref[0, 0, hd * C: (hd + 1) * C] = jnp.where(
             jnp.isfinite(m_e) & (z_e > 0.0),
             jnp.exp(s - jnp.where(jnp.isfinite(m_e), m_e, 0.0))
-            / jnp.maximum(z_e, 1e-38), 0.0))
-    out_ref[0, 0, :] = jnp.concatenate(outs, axis=0)    # (H*C,)
+            / jnp.maximum(z_e, 1e-38), 0.0)
 
 
 def edge_softmax_blocked_multihead(b: BlockedCsr, scores: jax.Array, *,
@@ -382,6 +389,7 @@ def _spmm_w_kernel(chunk_block_ref, lr_ref, w_ref, g_ref, out_ref):
 def spmm_blocked_weighted_pallas(b: BlockedCsr, x: jax.Array,
                                  edge_weight: jax.Array, *,
                                  compute_dtype=jnp.bfloat16,
+                                 gathered: jax.Array | None = None,
                                  interpret: bool = False) -> jax.Array:
     """Weighted scatter-free SpMM: ``y[i] = sum_e w[e] x[src(e)]``.
 
@@ -395,7 +403,8 @@ def spmm_blocked_weighted_pallas(b: BlockedCsr, x: jax.Array,
     B = b.num_blocks
     assert C % 128 == 0, "chunk_edges must be a multiple of 128"
 
-    g = x.astype(compute_dtype)[b.edge_src]              # (T, C, F) gather
+    g = (gathered if gathered is not None
+         else x.astype(compute_dtype)[b.edge_src])       # (T, C, F) gather
     lr3 = b.edge_local_row.reshape(T, C // 128, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -557,10 +566,14 @@ def attend_blocked(b: BlockedCsr, x_dst: jax.Array, x_src: jax.Array, *,
     (num_rows, F) float32.
     """
     F = x_src.shape[-1]
+    # ONE gather serves both kernels: the random (T, C, F) row fetch is the
+    # measured wall (BASELINE.md) — the SDDMM and the weighted aggregation
+    # each re-read it as a cheap sequential stream instead of re-gathering.
+    g = x_src.astype(compute_dtype)[b.edge_src]
     s = sddmm_blocked_pallas(b, x_dst, x_src, compute_dtype=compute_dtype,
-                             interpret=interpret)
+                             gathered=g, interpret=interpret)
     s = s * (scale if scale is not None else 1.0 / (F ** 0.5))
     att = edge_softmax_blocked(b, s, interpret=interpret)
     return spmm_blocked_weighted_pallas(b, x_src, att,
                                         compute_dtype=compute_dtype,
-                                        interpret=interpret)
+                                        gathered=g, interpret=interpret)
