@@ -88,6 +88,12 @@ def worker(args):
     out["ct_walks"] = shards(walks)
     out["ct_ts"] = shards(wts)
 
+    from tch_geometric_tpu.parallel.dist_negative import dist_negative_sample
+    nw, nacc, ovf = dist_negative_sample(key, gw, seeds, 3, 10, mesh,
+                                         capacity_factor=8.0)
+    out["ng_w"] = shards(nw).reshape(-1)
+    out["ng_acc"] = shards(nacc).reshape(-1)
+
     # one partitioned-trainer step (grads psum across processes)
     from tch_geometric_tpu.models import GraphSAGE
     from tch_geometric_tpu.parallel.dist_sampling import (
@@ -169,7 +175,8 @@ def main():
         assert int(a["nb_ovf"].sum()) == 0
     print(json.dumps({"multihost": "bit-identical", "procs": args.procs,
                       "devices": total, "families":
-                      ["neighbor", "budget", "ctdne", "trainer"]}))
+                      ["neighbor", "budget", "ctdne", "negative",
+                       "trainer"]}))
 
 
 if __name__ == "__main__":
