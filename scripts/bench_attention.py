@@ -134,8 +134,10 @@ def main():
     dtf, _ = timed(g_floor, xb, padded_idx)
     log(f"gather wall (1 pass): {dtf*1e3:7.2f} ms")
     for name, dt in rows:
+        # attend_full pays ONE gather since the SDDMM/weighted kernels
+        # share the pre-gathered (T, C, F) tensor (attention_blocked.py)
         gathers = {"sddmm": 1, "edge_softmax": 0, "weighted_spmm": 1,
-                   "attend_full": 2, "gat_4head": 0}[name]
+                   "attend_full": 1, "gat_4head": 0}[name]
         if gathers:
             log(f"  {name}: {gathers*dtf/dt*100:.1f}% of its "
                 f"{gathers}-gather floor")

@@ -466,6 +466,7 @@ def _spmm_mw_kernel(chunk_block_ref, lr_ref, w_ref, g_ref, out_ref):
 def spmm_blocked_multiweighted_pallas(b: BlockedCsr, x: jax.Array,
                                       edge_weight: jax.Array, *,
                                       compute_dtype=jnp.bfloat16,
+                                      gathered: jax.Array | None = None,
                                       interpret: bool = False) -> jax.Array:
     """H-head weighted SpMM in ONE kernel + ONE wide gather.
 
@@ -482,7 +483,8 @@ def spmm_blocked_multiweighted_pallas(b: BlockedCsr, x: jax.Array,
     B = b.num_blocks
     assert C % 128 == 0 and F % H == 0
 
-    g = x.astype(compute_dtype)[b.edge_src]              # (T, C, F) gather
+    g = (gathered if gathered is not None
+         else x.astype(compute_dtype)[b.edge_src])       # (T, C, F) gather
     lr3 = b.edge_local_row.reshape(T, C // 128, 128)
     w = jnp.moveaxis(edge_weight.astype(jnp.float32), 0, -1)  # (T, C, H)
 
@@ -539,19 +541,33 @@ def gat_attend_blocked(b: BlockedCsr, h: jax.Array, alpha_src: jax.Array,
     python loop of single-head kernel calls (H is small and static).
     """
     N, H, D = h.shape
-    # per-head additive logits (alpha gathers fuse across heads in XLA:
-    # both tables are (N, H), one row fetch serves every head)
-    rows = jnp.clip(blocked_dst_rows(b), 0, alpha_dst.shape[0] - 1)
-    logits = jax.nn.leaky_relu(
-        alpha_src[b.edge_src].astype(jnp.float32)
-        + alpha_dst[rows].astype(jnp.float32), negative_slope)  # (T, C, H)
-    # ONE multi-head softmax traversal + ONE wide gather + one multi-head
-    # weighted kernel instead of H full passes
+    W = b.rows_per_block
+    Wf = b.num_blocks * W
+    # ONE wide random gather serves everything: alpha_src rides as H extra
+    # lanes of the feature row (a separate (N, H) gather costs a full
+    # access-rate-bound pass — 16 B rows gather no faster than 256 B ones,
+    # BASELINE.md), and alpha_dst[dst(e)] never needs a random gather at
+    # all: dst rows are BLOCK-structured, so a block-indexed take +
+    # take_along_axis over the 128 local rows lowers to sequential streams.
+    xcat = jnp.concatenate(
+        [h.reshape(N, H * D), alpha_src], axis=1).astype(compute_dtype)
+    g = xcat[b.edge_src]                                 # (T, C, H*D+H)
+    gh = g[..., : H * D]
+    asrc_e = g[..., H * D:].astype(jnp.float32)          # (T, C, H)
+    adst_pad = alpha_dst.astype(jnp.float32)
+    if Wf > N:
+        adst_pad = jnp.pad(adst_pad, ((0, Wf - N), (0, 0)))
+    adst_e = jnp.take_along_axis(
+        adst_pad.reshape(b.num_blocks, W, H)[b.chunk_block],   # (T, W, H)
+        jnp.minimum(b.edge_local_row, W - 1)[..., None], axis=1)
+    logits = jax.nn.leaky_relu(asrc_e + adst_e, negative_slope)
+    # ONE multi-head softmax traversal + one multi-head weighted kernel
+    # reading the shared gathered tensor
     atts = edge_softmax_blocked_multihead(
         b, jnp.moveaxis(logits, -1, 0), interpret=interpret)
     out = spmm_blocked_multiweighted_pallas(
         b, h.reshape(N, H * D), atts,
-        compute_dtype=compute_dtype, interpret=interpret)
+        compute_dtype=compute_dtype, gathered=gh, interpret=interpret)
     return out.reshape(-1, H, D)
 
 
