@@ -84,42 +84,66 @@ def main():
             return c
         return run
 
+    import os
+    only = set(filter(None, os.environ.get("BENCH_STAGES", "").split(",")))
+
+    def want(name):
+        return not only or name in only
+
     rows = []
 
     # SDDMM
-    dt, cs = timed(chain(lambda e: sddmm_blocked_pallas(b, x + e, x + e)
-                         .sum()))
-    rows.append(("sddmm", dt))
-    log(f"sddmm               : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} Gedge/s "
-        f"(compile {cs:.0f}s)")
+    if want("sddmm"):
+        dt, cs = timed(chain(lambda e: sddmm_blocked_pallas(b, x + e, x + e)
+                             .sum()))
+        rows.append(("sddmm", dt))
+        log(f"sddmm               : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} "
+            f"Gedge/s (compile {cs:.0f}s)")
 
     # edge softmax over per-iteration-shifted scores
-    s0 = sddmm_blocked_pallas(b, x, x)
-    dt, cs = timed(chain(lambda e: edge_softmax_blocked(b, s0 + e).sum()))
-    rows.append(("edge_softmax", dt))
-    log(f"edge_softmax        : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} Gedge/s "
-        f"(compile {cs:.0f}s)")
+    if want("edge_softmax") or want("weighted_spmm"):
+        s0 = sddmm_blocked_pallas(b, x, x)
+    if want("edge_softmax"):
+        dt, cs = timed(chain(lambda e: edge_softmax_blocked(b, s0 + e)
+                             .sum()))
+        rows.append(("edge_softmax", dt))
+        log(f"edge_softmax        : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} "
+            f"Gedge/s (compile {cs:.0f}s)")
 
     # weighted SpMM
-    att0 = edge_softmax_blocked(b, s0)
-    dt, cs = timed(chain(
-        lambda e: spmm_blocked_weighted_pallas(b, x + e, att0).sum()))
-    rows.append(("weighted_spmm", dt))
-    log(f"weighted_spmm       : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} Gedge/s "
-        f"(compile {cs:.0f}s)")
+    if want("weighted_spmm"):
+        att0 = edge_softmax_blocked(b, s0)
+        dt, cs = timed(chain(
+            lambda e: spmm_blocked_weighted_pallas(b, x + e, att0).sum()))
+        rows.append(("weighted_spmm", dt))
+        log(f"weighted_spmm       : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} "
+            f"Gedge/s (compile {cs:.0f}s)")
 
     # full transformer-style attention (SDDMM + softmax + weighted SpMM)
-    dt, cs = timed(chain(lambda e: attend_blocked(b, x + e, x + e).sum()))
-    rows.append(("attend_full", dt))
-    log(f"attend (full)       : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} Gedge/s "
-        f"(compile {cs:.0f}s)")
+    if want("attend_full"):
+        dt, cs = timed(chain(lambda e: attend_blocked(b, x + e, x + e)
+                             .sum()))
+        rows.append(("attend_full", dt))
+        log(f"attend (full)       : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} "
+            f"Gedge/s (compile {cs:.0f}s)")
+
+    # fused 2-kernel attend
+    if want("attend_fused"):
+        from tch_geometric_tpu.ops.attention_blocked import (
+            attend_blocked_fused)
+        dt, cs = timed(chain(lambda e: attend_blocked_fused(b, x + e, x + e)
+                             .sum()))
+        rows.append(("attend_fused", dt))
+        log(f"attend (fused 2-krn): {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} "
+            f"Gedge/s (compile {cs:.0f}s)")
 
     # 4-head GAT aggregation
-    dt, cs = timed(chain(
-        lambda e: gat_attend_blocked(b, hh + e, a_src, a_dst).sum()))
-    rows.append(("gat_4head", dt))
-    log(f"gat 4-head (d=32)   : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} Gedge/s "
-        f"(compile {cs:.0f}s)")
+    if want("gat_4head"):
+        dt, cs = timed(chain(
+            lambda e: gat_attend_blocked(b, hh + e, a_src, a_dst).sum()))
+        rows.append(("gat_4head", dt))
+        log(f"gat 4-head (d=32)   : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} "
+            f"Gedge/s (compile {cs:.0f}s)")
 
     # context: the gather wall for ONE (T, C, F) source fetch
     padded_idx = b.edge_src.reshape(-1)
@@ -137,7 +161,8 @@ def main():
         # attend_full pays ONE gather since the SDDMM/weighted kernels
         # share the pre-gathered (T, C, F) tensor (attention_blocked.py)
         gathers = {"sddmm": 1, "edge_softmax": 0, "weighted_spmm": 1,
-                   "attend_full": 1, "gat_4head": 0}[name]
+                   "attend_full": 1, "attend_fused": 1,
+                   "gat_4head": 0}[name]
         if gathers:
             log(f"  {name}: {gathers*dtf/dt*100:.1f}% of its "
                 f"{gathers}-gather floor")

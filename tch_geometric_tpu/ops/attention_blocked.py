@@ -541,33 +541,25 @@ def gat_attend_blocked(b: BlockedCsr, h: jax.Array, alpha_src: jax.Array,
     python loop of single-head kernel calls (H is small and static).
     """
     N, H, D = h.shape
-    W = b.rows_per_block
-    Wf = b.num_blocks * W
-    # ONE wide random gather serves everything: alpha_src rides as H extra
-    # lanes of the feature row (a separate (N, H) gather costs a full
-    # access-rate-bound pass — 16 B rows gather no faster than 256 B ones,
-    # BASELINE.md), and alpha_dst[dst(e)] never needs a random gather at
-    # all: dst rows are BLOCK-structured, so a block-indexed take +
-    # take_along_axis over the 128 local rows lowers to sequential streams.
-    xcat = jnp.concatenate(
-        [h.reshape(N, H * D), alpha_src], axis=1).astype(compute_dtype)
-    g = xcat[b.edge_src]                                 # (T, C, H*D+H)
-    gh = g[..., : H * D]
-    asrc_e = g[..., H * D:].astype(jnp.float32)          # (T, C, H)
-    adst_pad = alpha_dst.astype(jnp.float32)
-    if Wf > N:
-        adst_pad = jnp.pad(adst_pad, ((0, Wf - N), (0, 0)))
-    adst_e = jnp.take_along_axis(
-        adst_pad.reshape(b.num_blocks, W, H)[b.chunk_block],   # (T, W, H)
-        jnp.minimum(b.edge_local_row, W - 1)[..., None], axis=1)
-    logits = jax.nn.leaky_relu(asrc_e + adst_e, negative_slope)
-    # ONE multi-head softmax traversal + one multi-head weighted kernel
-    # reading the shared gathered tensor
+    # per-head additive logits (alpha gathers fuse across heads in XLA:
+    # both tables are (N, H), one row fetch serves every head).
+    # NEGATIVE RESULT (measured, v5e): folding alpha_src into the wide
+    # feature gather + building alpha_dst[dst(e)] via block-indexed take +
+    # take_along_axis is 2.3x SLOWER (62 vs 27 ms at E=4.2M, H=4, d=32) —
+    # take_along_axis over (T, W, H) is itself an access-rate-bound gather
+    # (4.5M index ops), and slicing the widened gathered tensor costs full
+    # re-streams of the 1.1 GB buffer.  The XLA alpha gathers stay.
+    rows = jnp.clip(blocked_dst_rows(b), 0, alpha_dst.shape[0] - 1)
+    logits = jax.nn.leaky_relu(
+        alpha_src[b.edge_src].astype(jnp.float32)
+        + alpha_dst[rows].astype(jnp.float32), negative_slope)  # (T, C, H)
+    # ONE multi-head softmax traversal + ONE wide gather + one multi-head
+    # weighted kernel instead of H full passes
     atts = edge_softmax_blocked_multihead(
         b, jnp.moveaxis(logits, -1, 0), interpret=interpret)
     out = spmm_blocked_multiweighted_pallas(
         b, h.reshape(N, H * D), atts,
-        compute_dtype=compute_dtype, gathered=gh, interpret=interpret)
+        compute_dtype=compute_dtype, interpret=interpret)
     return out.reshape(-1, H, D)
 
 
@@ -593,3 +585,163 @@ def attend_blocked(b: BlockedCsr, x_dst: jax.Array, x_src: jax.Array, *,
     return spmm_blocked_weighted_pallas(b, x_src, att,
                                         compute_dtype=compute_dtype,
                                         gathered=g, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fused 2-kernel attend: SDDMM+stats, then normalize+weighted contraction
+# ---------------------------------------------------------------------------
+
+def _sddmm_mz_kernel(chunk_block_ref, lr_sub_ref, g_ref, xd_ref,
+                     s_ref, m_ref, z_ref):
+    """Pass A: per-edge scaled dot scores AND the online (max, expsum) row
+    stats in ONE traversal of the gathered tensor.
+
+    Everything stays sublane-major: scores are (C, 1) sublane vectors (the
+    natural SDDMM output) and the stats are (1, W) LANE vectors produced by
+    a sublane reduction of the (C, W) masked score tile — no transposes."""
+    t = pl.program_id(0)
+    blk = chunk_block_ref[t]
+    prev_blk = chunk_block_ref[jnp.maximum(t - 1, 0)]
+    first = jnp.logical_or(t == 0, blk != prev_blk)
+
+    P = jax.lax.dot_general(
+        g_ref[0], xd_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (C, W)
+    lr = lr_sub_ref[0]                                  # (C, 1) sublanes
+    C, W = P.shape
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
+    mask = iota_w == lr                                 # (C, W)
+    s = jnp.where(mask, P, 0.0).sum(axis=1, keepdims=True)  # (C, 1) SCALED
+    s_ref[0] = s
+
+    sm = jnp.where(mask, s, NEG_INF)                    # (C, W) masked
+    m_c = jnp.max(sm, axis=0, keepdims=True)            # (1, W) lanes
+    m_safe = jnp.where(jnp.isfinite(m_c), m_c, 0.0)
+    e = jnp.where(jnp.isfinite(sm), jnp.exp(sm - m_safe), 0.0)
+    z_c = e.sum(axis=0, keepdims=True)                  # (1, W)
+
+    @pl.when(first)
+    def _():
+        m_ref[0] = m_c
+        z_ref[0] = z_c
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        m_old = m_ref[0]
+        z_old = z_ref[0]
+        m_new = jnp.maximum(m_old, m_c)
+        m_new_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        r_old = jnp.where(jnp.isfinite(m_old), jnp.exp(m_old - m_new_safe),
+                          0.0)
+        r_c = jnp.where(jnp.isfinite(m_c), jnp.exp(m_c - m_new_safe), 0.0)
+        m_ref[0] = m_new
+        z_ref[0] = z_old * r_old + z_c * r_c
+
+
+def _att_w_fused_kernel(chunk_block_ref, lr_sub_ref, lr_ref, s_ref, m_ref,
+                        z_ref, g_ref, out_ref):
+    """Pass B: normalize each edge against its row's final stats and fold
+    the attention weight straight into the weighted one-hot contraction —
+    no materialized attention tensor, no separate normalize pass."""
+    t = pl.program_id(0)
+    blk = chunk_block_ref[t]
+    prev_blk = chunk_block_ref[jnp.maximum(t - 1, 0)]
+    first = jnp.logical_or(t == 0, blk != prev_blk)
+
+    lr_sub = lr_sub_ref[0]                              # (C, 1) sublanes
+    C = lr_sub.shape[0]
+    W = out_ref.shape[0]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
+    mask = iota_w == lr_sub                             # (C, W)
+    # per-edge stats: mask the (1, W) lane stats and reduce over lanes ->
+    # (C, 1) sublane vectors, the exact layout the weight fold needs
+    m_e = jnp.where(mask, m_ref[0], NEG_INF).max(axis=1, keepdims=True)
+    z_e = jnp.where(mask, z_ref[0], 0.0).sum(axis=1, keepdims=True)
+    s = s_ref[0]                                        # (C, 1) scaled
+    att = jnp.where(jnp.isfinite(m_e) & (z_e > 0.0),
+                    jnp.exp(s - jnp.where(jnp.isfinite(m_e), m_e, 0.0))
+                    / jnp.maximum(z_e, 1e-38), 0.0)     # (C, 1)
+
+    g2 = (g_ref[0].astype(jnp.float32) * att).astype(g_ref.dtype)
+    lr = lr_ref[0].reshape(-1)                          # (C,) lanes
+    iota_wc = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+    oh = (iota_wc == lr[None, :]).astype(g_ref.dtype)
+    part = jnp.dot(oh, g2, preferred_element_type=jnp.float32)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[:] = out_ref[:] + part
+
+
+def attend_blocked_fused(b: BlockedCsr, x_dst: jax.Array, x_src: jax.Array,
+                         *, scale: float | None = None,
+                         compute_dtype=jnp.bfloat16,
+                         interpret: bool = False) -> jax.Array:
+    """:func:`attend_blocked` in TWO kernels instead of four.
+
+    Pass A computes the scaled SDDMM scores and the online softmax stats in
+    one traversal; pass B normalizes and folds the attention weight
+    straight into the one-hot MXU contraction.  Same semantics, two fewer
+    passes over the edge list and no materialized attention tensor; the
+    gathered (T, C, F) tensor is read exactly twice (once per kernel)
+    after a single random gather."""
+    W = b.rows_per_block
+    T, C = b.edge_src.shape
+    F = x_src.shape[-1]
+    B = b.num_blocks
+    assert C % 128 == 0 and W % 128 == 0
+    sc = float(scale if scale is not None else 1.0 / (F ** 0.5))
+
+    # fold the scale into the dst operand: scores leave pass A pre-scaled
+    g = x_src.astype(compute_dtype)[b.edge_src]          # THE gather
+    xd = _pad_dst(b, (x_dst * sc).astype(compute_dtype))
+    lr_sub = b.edge_local_row.reshape(T, C, 1)
+    lr3 = b.edge_local_row.reshape(T, C // 128, 128)
+
+    grid_a = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, C, 1), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, C, F), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((W, F), lambda t, cb: (cb[t], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C, 1), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, 1, W), lambda t, cb: (cb[t], 0, 0)),
+            pl.BlockSpec((1, 1, W), lambda t, cb: (cb[t], 0, 0)),
+        ],
+    )
+    s, m, z = pl.pallas_call(
+        _sddmm_mz_kernel,
+        grid_spec=grid_a,
+        out_shape=[jax.ShapeDtypeStruct((T, C, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, W), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, W), jnp.float32)],
+        interpret=interpret,
+    )(b.chunk_block, lr_sub, g, xd)
+
+    grid_b = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, C, 1), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, C // 128, 128), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, C, 1), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, 1, W), lambda t, cb: (cb[t], 0, 0)),
+            pl.BlockSpec((1, 1, W), lambda t, cb: (cb[t], 0, 0)),
+            pl.BlockSpec((1, C, F), lambda t, cb: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((W, F), lambda t, cb: (cb[t], 0)),
+    )
+    out = pl.pallas_call(
+        _att_w_fused_kernel,
+        grid_spec=grid_b,
+        out_shape=jax.ShapeDtypeStruct((B * W, F), jnp.float32),
+        interpret=interpret,
+    )(b.chunk_block, lr_sub, lr3, s, m, z, g)
+    return out[: b.num_rows]

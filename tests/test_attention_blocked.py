@@ -174,3 +174,17 @@ def test_edge_softmax_multihead_matches_per_head():
     for hd in range(H):
         sh = np.asarray(edge_softmax_blocked(b, scores[hd], interpret=True))
         np.testing.assert_allclose(mh[hd], sh, rtol=1e-6, atol=1e-7)
+
+
+def test_attend_fused_matches_composed(graph):
+    """attend_blocked_fused (2 kernels) must match the 4-kernel composed
+    pipeline and the XLA segment reference."""
+    from tch_geometric_tpu.ops.attention_blocked import attend_blocked_fused
+    indptr, src, b, x_dst, x_src = graph
+    composed = np.asarray(attend_blocked(
+        b, jnp.asarray(x_dst), jnp.asarray(x_src),
+        compute_dtype=jnp.float32, interpret=True))
+    fused = np.asarray(attend_blocked_fused(
+        b, jnp.asarray(x_dst), jnp.asarray(x_src),
+        compute_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(fused, composed, rtol=2e-4, atol=2e-4)
