@@ -23,9 +23,12 @@ from .spmm_pallas import (
 )
 from .attention_blocked import (
     attend_blocked,
+    attend_blocked_fused,
     edge_softmax_blocked,
+    edge_softmax_blocked_multihead,
     gat_attend_blocked,
     gat_edge_logits_blocked,
     sddmm_blocked_pallas,
+    spmm_blocked_multiweighted_pallas,
     spmm_blocked_weighted_pallas,
 )
