@@ -124,3 +124,168 @@ def make_link_trainer(model, fanouts: Sequence[int], *,
         return loss_fn(state.params, key, graph, x_table, src, dst)
 
     return init_fn, train_step, eval_step
+
+
+def make_partitioned_link_trainer(model, fanouts: Sequence[int], mesh, *,
+                                  axis: str = "data", num_neg: int = 1,
+                                  try_count: int = 8,
+                                  learning_rate: float = 1e-3,
+                                  capacity_factor: float = 1.3,
+                                  num_rounds: int = 1):
+    """Link-prediction training over a PARTITIONED graph: adjacency AND
+    features sharded, negatives drawn/probed through the owner-routed
+    exchange, trees sampled distributed, gradients pmean'd.
+
+    ``graph`` must be a :class:`~.dist_sampling.PartitionedGraph` built
+    from the **CSR** orientation (rows = out-neighbors, the probe
+    direction); features interleave-shard
+    (``sharded_features.build_interleaved_features``).  src/dst/feature
+    tensors shard over ``axis``.  Every draw (trees AND negatives) is
+    keyed by global uids, so the sampled trees and negatives are
+    bit-identical for any device count and loss trajectories agree to
+    float precision (cross-device psum reduction order contributes ~1e-7;
+    pinned in tests/test_dist_negative.py).
+
+    Each of the three seed segments (src, dst, negatives) samples its
+    trees in its own distributed invocation — segment-local uids keep the
+    P-invariance that a concatenated per-device seed list would break
+    (the concat's global slot order depends on P).
+    """
+    import numpy as np
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P  # noqa: F401
+    from .dist_negative import _dist_negative_device
+    from .dist_sampling import _dist_sample_device
+    from .sharded_features import halo_gather
+
+    tree_forward = type(model).tree_forward
+    fanouts = tuple(int(k) for k in fanouts)
+    tx = optax.adam(learning_rate)
+    num_parts = int(mesh.shape[axis])
+
+    def _encode_segment(params, key, gshard, x_shard, seeds_local, dev,
+                        deterministic):
+        total = seeds_local.shape[0] * num_parts
+        sample, s_ovf = _dist_sample_device(
+            key, gshard, seeds_local, dev=dev, fanouts=fanouts, axis=axis,
+            num_parts=num_parts, total_seeds=total,
+            capacity_factor=capacity_factor, with_replacement=False,
+            num_rounds=num_rounds)
+        n_rows = x_shard.shape[0] * num_parts
+        ids = jnp.clip(sample.nodes, 0, n_rows - 1)
+        cap = min(int(np.ceil(capacity_factor * ids.shape[0] / num_parts)),
+                  ids.shape[0])
+        x, f_ovf = halo_gather(x_shard, ids, axis=axis,
+                               num_parts=num_parts, capacity=cap,
+                               valid=sample.node_valid,
+                               num_rounds=num_rounds)
+        h = model.apply(params, sample, x, deterministic=deterministic,
+                        rngs={"dropout": rng.fold(key, rng.DROPOUT_STREAM)},
+                        method=tree_forward)
+        return h, s_ovf + f_ovf
+
+    def _loss(params, key, gshard, x_shard, src_local, dst_local, dev,
+              deterministic):
+        L = src_local.shape[0]
+        # owner-probed negatives (uid-keyed: P-invariant)
+        neg, neg_ok, n_ovf = _dist_negative_device(
+            rng.fold(key, 3), gshard, src_local, dev=dev, num_neg=num_neg,
+            try_count=try_count, inbound=False, axis=axis,
+            num_parts=num_parts, capacity_factor=capacity_factor,
+            num_rounds=num_rounds)
+        h_src, o1 = _encode_segment(params, rng.fold(key, 4), gshard,
+                                    x_shard, src_local.astype(jnp.int32),
+                                    dev, deterministic)
+        h_dst, o2 = _encode_segment(params, rng.fold(key, 5), gshard,
+                                    x_shard, dst_local.astype(jnp.int32),
+                                    dev, deterministic)
+        h_neg, o3 = _encode_segment(params, rng.fold(key, 6), gshard,
+                                    x_shard, neg.reshape(-1), dev,
+                                    deterministic)
+        h_neg = h_neg.reshape(L, num_neg, -1)
+        pos = (h_src * h_dst).sum(-1)
+        negs = (h_src[:, None, :] * h_neg).sum(-1)
+        pos_loss = optax.sigmoid_binary_cross_entropy(
+            pos, jnp.ones_like(pos)).mean()
+        neg_bce = optax.sigmoid_binary_cross_entropy(
+            negs, jnp.zeros_like(negs))
+        # global masked mean: psum numerator/denominator so the loss (and
+        # therefore the gradients) match the single-device computation
+        num = jax.lax.psum((neg_bce * neg_ok).sum(), axis)
+        den = jax.lax.psum(neg_ok.sum(), axis)
+        neg_loss = num / jnp.maximum(den, 1)
+        rank = jax.lax.psum(((pos[:, None] > negs) * neg_ok).sum(), axis) \
+            / jnp.maximum(den, 1)
+        return jax.lax.pmean(pos_loss, axis) + neg_loss, \
+            (rank, n_ovf + o1 + o2 + o3)
+
+    repl, shard = P(), P(axis)
+
+    def init_fn(key, graph, x_sharded, src, dst):
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(repl, shard, shard, shard),
+                           out_specs=repl)
+        def _init(key, gshard, x_shard, src_local):
+            dev = jax.lax.axis_index(axis)
+            # init params from one segment's sample shapes
+            total = src_local.shape[0] * num_parts
+            sample, _ = _dist_sample_device(
+                key, gshard, src_local.astype(jnp.int32), dev=dev,
+                fanouts=fanouts, axis=axis, num_parts=num_parts,
+                total_seeds=total, capacity_factor=capacity_factor,
+                with_replacement=False, num_rounds=num_rounds)
+            n_rows = x_shard.shape[0] * num_parts
+            ids = jnp.clip(sample.nodes, 0, n_rows - 1)
+            cap = min(int(np.ceil(capacity_factor * ids.shape[0]
+                                  / num_parts)), ids.shape[0])
+            x, _ = halo_gather(x_shard, ids, axis=axis,
+                               num_parts=num_parts, capacity=cap,
+                               valid=sample.node_valid,
+                               num_rounds=num_rounds)
+            params = model.init(key, sample, x, method=tree_forward)
+            return jax.lax.pmean(params, axis)
+
+        params = _init(key, graph, x_sharded, src)
+        return TrainState(params=params, opt_state=tx.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    @jax.jit
+    def train_step(state: TrainState, key, graph, x_sharded, src, dst):
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(repl, repl, repl, repl, shard, shard, shard, shard),
+            out_specs=(repl, repl, repl, repl))
+        def _step(params, opt_state, step, key, gshard, x_shard, src_local,
+                  dst_local):
+            dev = jax.lax.axis_index(axis)
+            k = rng.fold(key, step)
+            (loss, (rank, ovf)), grads = jax.value_and_grad(
+                _loss, has_aux=True)(params, k, gshard, x_shard, src_local,
+                                     dst_local, dev, False)
+            grads = jax.lax.pmean(grads, axis)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt, loss, jax.lax.psum(ovf, axis)
+
+        params, opt_state, loss, overflow = _step(
+            state.params, state.opt_state, state.step, key, graph,
+            x_sharded, src, dst)
+        return (TrainState(params, opt_state, state.step + 1), loss,
+                overflow)
+
+    @jax.jit
+    def eval_step(state: TrainState, key, graph, x_sharded, src, dst):
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(repl, repl, shard, shard, shard, shard),
+            out_specs=(repl, repl))
+        def _eval(params, key, gshard, x_shard, src_local, dst_local):
+            dev = jax.lax.axis_index(axis)
+            k = rng.fold(key, jnp.asarray(1 << 20, jnp.uint32))
+            loss, (rank, _) = _loss(params, k, gshard, x_shard, src_local,
+                                    dst_local, dev, True)
+            return loss, rank
+
+        return _eval(state.params, key, graph, x_sharded, src, dst)
+
+    return init_fn, train_step, eval_step

@@ -142,3 +142,61 @@ def test_accept_rate_matches_density():
     assert int(np.asarray(ovf).sum()) == 0
     rate = float(np.asarray(acc).mean())
     assert 0.35 < rate < 0.62     # ~1 - density - 1/N self-loop mass
+
+
+def test_partitioned_link_trainer_invariance(karate_csr):
+    """Distributed link-prediction training: loss trajectories and ranking
+    accuracy agree across P=1/2/4 to float precision (the sampled trees
+    and negatives are bit-identical by uid keying; cross-device psum
+    reduction order contributes ~1e-7), and training improves ranking."""
+    import jax.numpy as jnp
+    from tch_geometric_tpu.models import GraphSAGE
+    from tch_geometric_tpu.parallel.link_train import (
+        make_partitioned_link_trainer)
+    from tch_geometric_tpu.parallel.multihost import put_partitioned
+    from tch_geometric_tpu.parallel.sharded_features import (
+        build_interleaved_features)
+    from jax.sharding import PartitionSpec as P
+
+    indptr, indices = karate_csr
+    rng_np = np.random.default_rng(0)
+    x = rng_np.normal(size=(34, 16)).astype(np.float32)
+    src = np.empty(8, np.int32)
+    dst = np.empty(8, np.int32)
+    for i in range(8):
+        u = rng_np.integers(0, 34)
+        while indptr[u + 1] == indptr[u]:
+            u = rng_np.integers(0, 34)
+        src[i] = u
+        dst[i] = indices[rng_np.integers(indptr[u], indptr[u + 1])]
+
+    key = jax.random.key(0)
+    results = {}
+    for Pn in (1, 2, 4):
+        mesh = _mesh(Pn)
+        g = build_partitioned_graph(indptr, indices, Pn)
+        xi = build_interleaved_features(x, Pn)
+        model = GraphSAGE(hidden=16, out=8, num_layers=2)
+        init_fn, train_step, eval_step = make_partitioned_link_trainer(
+            model, [3, 2], mesh, num_neg=2, try_count=8,
+            learning_rate=1e-2, capacity_factor=8.0)
+        with mesh:
+            gput = put_partitioned(g, mesh, P("data"))
+            xput = put_partitioned(np.asarray(xi), mesh, P("data"))
+            sput = put_partitioned(jnp.asarray(src), mesh, P("data"))
+            dput = put_partitioned(jnp.asarray(dst), mesh, P("data"))
+            state = init_fn(key, gput, xput, sput, dput)
+            losses = []
+            for _ in range(5):
+                state, loss, ovf = train_step(state, key, gput, xput,
+                                              sput, dput)
+                losses.append(float(loss))
+                assert int(np.asarray(ovf).sum()) == 0
+            eloss, rank = eval_step(state, key, gput, xput, sput, dput)
+        results[Pn] = (losses, float(eloss), float(rank))
+    for Pn in (2, 4):
+        np.testing.assert_allclose(results[1][0], results[Pn][0],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(results[1][1], results[Pn][1], rtol=1e-5)
+        np.testing.assert_allclose(results[1][2], results[Pn][2], rtol=1e-5)
+    assert results[1][0][-1] < results[1][0][0]      # training moves
