@@ -79,9 +79,13 @@ def _owner_membership(g: PartitionedGraph, recv, n_targets: int,
 def _dist_negative_device(key, g: PartitionedGraph, inputs_local, *, dev,
                           num_neg: int, try_count: int, inbound: bool,
                           axis: str, num_parts: int, capacity_factor: float,
-                          num_rounds: int):
+                          num_rounds: int, exclude=None):
     """One device's shard: draw candidates for its local inputs, probe edge
-    existence at the owning device, first-accept locally."""
+    existence at the owning device, first-accept locally.
+
+    ``exclude`` (optional, (L,)) rejects one extra node id per input on top
+    of the reference's self-rejection — the link trainer passes the true
+    dst so negatives exclude both endpoints (see link_train.py)."""
     L = inputs_local.shape[0]
     K = num_neg * try_count
     uid = dev * L + jnp.arange(L, dtype=jnp.int32)
@@ -131,6 +135,8 @@ def _dist_negative_device(key, g: PartitionedGraph, inputs_local, *, dev,
     # first-accept sweep (rs:31-45): non-edge and not a self-loop;
     # dropped (overflowed) probes count as "exists" above = conservative.
     ok = (~exists) & (cand != v[:, None])
+    if exclude is not None:
+        ok = ok & (cand != exclude.astype(jnp.int32)[:, None])
     ok = ok.reshape(L, num_neg, try_count)
     candn = cand.reshape(L, num_neg, try_count)
     first = jnp.argmax(ok, axis=-1)

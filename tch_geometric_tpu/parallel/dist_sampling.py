@@ -687,6 +687,9 @@ def make_partitioned_trainer(
     axis: str = "data",
     learning_rate: float = 1e-2,
     with_replacement: bool = False,
+    weighted: bool = False,
+    filter: Optional[tuple] = None,
+    window: int = 256,
     capacity_factor: float = 1.3,
     num_rounds: int = 1,
 ):
@@ -698,22 +701,47 @@ def make_partitioned_trainer(
     forward/backward -> gradient pmean.  Returns (init_fn, train_step,
     eval_step); train_step also returns summed (sampling, feature) overflow
     diagnostics.
+
+    ``weighted=True`` trains on edge-weight-proportional samples (the graph
+    must be built with ``edge_weights``); ``filter=((lo, hi), forward,
+    mode)`` applies the reference's 3-mode TemporalEdgeFilter during
+    sampling (graph built with ``edge_timestamps``) — the same sampler
+    configs the reference threads into its sampling entry point
+    (python.rs:187-201), here reaching an actual train step.  With a
+    filter, ``train_step``/``eval_step`` accept an optional trailing
+    ``seed_ts`` array (sharded like seeds) carrying each seed's root
+    timestamp for the RELATIVE/DYNAMIC state chain; omitted it defaults
+    to zeros.
     """
     tree_forward = type(model).tree_forward
     fanouts = tuple(int(k) for k in fanouts)
     tx = optax.adam(learning_rate)
     num_parts = int(mesh.shape[axis])
+    filter_static = None
+    if filter is not None:
+        filter_static = (tuple(int(v) for v in filter[0]), bool(filter[1]),
+                         int(filter[2]))
 
-    def _sample_and_gather(key, gshard, x_shard, seeds_local, dev):
+    def _sample_and_gather(key, gshard, x_shard, seeds_local, dev,
+                           seed_state=None):
         assert gshard.num_parts == num_parts, (
             f"graph partitioned for {gshard.num_parts} devices but the mesh "
             f"axis has {num_parts}")
+        if weighted:
+            assert gshard.llogw is not None, (
+                "weighted=True needs edge_weights at "
+                "build_partitioned_graph")
+        if filter_static is not None:
+            assert gshard.lts is not None, (
+                "filter= needs edge_timestamps at build_partitioned_graph")
         total_seeds = seeds_local.shape[0] * num_parts
         sample, s_ovf = _dist_sample_device(
             key, gshard, seeds_local, dev=dev, fanouts=fanouts, axis=axis,
             num_parts=num_parts, total_seeds=total_seeds,
             capacity_factor=capacity_factor,
-            with_replacement=with_replacement, num_rounds=num_rounds)
+            with_replacement=with_replacement, weighted=weighted,
+            filter_static=filter_static, seed_state=seed_state,
+            window=window, num_rounds=num_rounds)
         n_rows = x_shard.shape[0] * num_parts
         ids = jnp.clip(sample.nodes, 0, n_rows - 1)
         capacity = int(np.ceil(capacity_factor * ids.shape[0] / num_parts))
@@ -725,9 +753,10 @@ def make_partitioned_trainer(
         return sample, x, (s_ovf, f_ovf)
 
     def _loss(params, key, gshard, x_shard, seeds_local, labels_local,
-              dev, deterministic):
+              ts_local, dev, deterministic):
         sample, x, ovf = _sample_and_gather(key, gshard, x_shard,
-                                            seeds_local, dev)
+                                            seeds_local, dev,
+                                            seed_state=ts_local)
         logits = model.apply(params, sample, x, deterministic=deterministic,
                              rngs={"dropout": rng.fold(key,
                                                        rng.DROPOUT_STREAM)},
@@ -738,34 +767,43 @@ def make_partitioned_trainer(
 
     repl, shard = P(), P(axis)
 
-    def init_fn(key, graph, x_sharded, seeds):
+    def _ts_or_zeros(seed_ts, seeds):
+        if seed_ts is None:
+            return jnp.zeros(jnp.shape(seeds), jnp.int32)
+        return jnp.asarray(seed_ts, jnp.int32)
+
+    def init_fn(key, graph, x_sharded, seeds, seed_ts=None):
         @functools.partial(shard_map, mesh=mesh,
-                           in_specs=(repl, shard, shard, shard),
+                           in_specs=(repl, shard, shard, shard, shard),
                            out_specs=repl)
-        def _init(key, gshard, x_shard, seeds_local):
+        def _init(key, gshard, x_shard, seeds_local, ts_local):
             dev = jax.lax.axis_index(axis)
             sample, x, _ = _sample_and_gather(key, gshard, x_shard,
-                                              seeds_local, dev)
+                                              seeds_local, dev,
+                                              seed_state=ts_local)
             params = model.init(key, sample, x, method=tree_forward)
             return jax.lax.pmean(params, axis)
 
-        params = _init(key, graph, x_sharded, seeds)
+        params = _init(key, graph, x_sharded, seeds,
+                       _ts_or_zeros(seed_ts, seeds))
         return TrainState(params=params, opt_state=tx.init(params),
                           step=jnp.zeros((), jnp.int32))
 
-    @jax.jit
-    def train_step(state: TrainState, key, graph, x_sharded, seeds, labels):
+    @functools.partial(jax.jit, static_argnames=())
+    def _train_step_impl(state, key, graph, x_sharded, seeds, labels,
+                         seed_ts):
         @functools.partial(
             shard_map, mesh=mesh,
-            in_specs=(repl, repl, repl, repl, shard, shard, shard, shard),
+            in_specs=(repl, repl, repl, repl, shard, shard, shard, shard,
+                      shard),
             out_specs=(repl, repl, repl, repl, repl))
         def _step(params, opt_state, step, key, gshard, x_shard,
-                  seeds_local, labels_local):
+                  seeds_local, labels_local, ts_local):
             dev = jax.lax.axis_index(axis)
             k = rng.fold(key, step)
             (loss, (logits, ovf)), grads = jax.value_and_grad(
                 _loss, has_aux=True)(params, k, gshard, x_shard, seeds_local,
-                                     labels_local, dev, False)
+                                     labels_local, ts_local, dev, False)
             grads = jax.lax.pmean(grads, axis)
             loss = jax.lax.pmean(loss, axis)
             acc = jax.lax.pmean(
@@ -777,24 +815,37 @@ def make_partitioned_trainer(
 
         params, opt_state, loss, acc, overflow = _step(
             state.params, state.opt_state, state.step, key, graph, x_sharded,
-            seeds, labels)
+            seeds, labels, seed_ts)
         return (TrainState(params, opt_state, state.step + 1),
                 loss, acc, overflow)
 
+    def train_step(state, key, graph, x_sharded, seeds, labels,
+                   seed_ts=None):
+        return _train_step_impl(state, key, graph, x_sharded, seeds, labels,
+                                _ts_or_zeros(seed_ts, seeds))
+
     @jax.jit
-    def eval_step(state: TrainState, key, graph, x_sharded, seeds, labels):
+    def _eval_step_impl(state, key, graph, x_sharded, seeds, labels,
+                        seed_ts):
         @functools.partial(
             shard_map, mesh=mesh,
-            in_specs=(repl, repl, shard, shard, shard, shard),
+            in_specs=(repl, repl, shard, shard, shard, shard, shard),
             out_specs=(repl, repl))
-        def _eval(params, key, gshard, x_shard, seeds_local, labels_local):
+        def _eval(params, key, gshard, x_shard, seeds_local, labels_local,
+                  ts_local):
             dev = jax.lax.axis_index(axis)
             k = rng.fold(key, jnp.asarray(1 << 20, jnp.uint32))
             loss, (logits, _) = _loss(params, k, gshard, x_shard,
-                                      seeds_local, labels_local, dev, True)
+                                      seeds_local, labels_local, ts_local,
+                                      dev, True)
             acc = (logits.argmax(-1) == labels_local).mean()
             return jax.lax.pmean(loss, axis), jax.lax.pmean(acc, axis)
 
-        return _eval(state.params, key, graph, x_sharded, seeds, labels)
+        return _eval(state.params, key, graph, x_sharded, seeds, labels,
+                     seed_ts)
+
+    def eval_step(state, key, graph, x_sharded, seeds, labels, seed_ts=None):
+        return _eval_step_impl(state, key, graph, x_sharded, seeds, labels,
+                               _ts_or_zeros(seed_ts, seeds))
 
     return init_fn, train_step, eval_step

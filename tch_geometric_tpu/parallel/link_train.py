@@ -11,6 +11,15 @@ delegated.  Here the WHOLE pipeline is one jitted step:
   binary-search probe the negative sampler uses (rs:31-45 semantics) ->
   BCE on positive + accepted-negative scores.
 
+Orientation contract: the sampler (`_sample_neighbors_impl`) requires the
+**CSC** orientation (rows = in-neighbors), so the corrupted-edge probe
+``src -> cand`` must read *cand's* CSC row — ``has_edge(cand, src)`` —
+not src's (which would test the reverse edge ``cand -> src``).  Both
+trainers reject a candidate that is a true edge OR equals either endpoint
+(``cand != src`` and ``cand != dst``) so the single-chip and partitioned
+losses are the same function of the same data; the reference's own law
+rejects only self (rs:33).
+
 Negatives are encoded through the same sampled trees as the batch
 endpoints (they join the seed list), so one sampler invocation serves
 encoder AND decoder — no second pipeline, no host round-trip.
@@ -18,7 +27,7 @@ encoder AND decoder — no second pipeline, no host round-trip.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -53,9 +62,12 @@ def make_link_trainer(model, fanouts: Sequence[int], *,
         nkey = rng.fold(key, 7)
         cand = jax.random.randint(nkey, (B, num_neg, try_count), 0,
                                   graph.num_dst, dtype=jnp.int32)
+        # graph is a CSC (rows = in-neighbors): probing src -> cand means
+        # searching cand's row for src.
         exists = graph.has_edge(
-            jnp.broadcast_to(src[:, None, None], cand.shape), cand)
-        ok = jnp.logical_and(~exists, cand != dst[:, None, None])
+            cand, jnp.broadcast_to(src[:, None, None], cand.shape))
+        ok = (~exists) & (cand != dst[:, None, None]) \
+            & (cand != src[:, None, None])
         first = jnp.argmax(ok, axis=-1)
         neg_ok = jnp.any(ok, axis=-1)                      # (B, num_neg)
         neg = jnp.take_along_axis(cand, first[..., None], axis=-1)[..., 0]
@@ -130,6 +142,9 @@ def make_partitioned_link_trainer(model, fanouts: Sequence[int], mesh, *,
                                   axis: str = "data", num_neg: int = 1,
                                   try_count: int = 8,
                                   learning_rate: float = 1e-3,
+                                  weighted: bool = False,
+                                  filter: Optional[tuple] = None,
+                                  window: int = 256,
                                   capacity_factor: float = 1.3,
                                   num_rounds: int = 1):
     """Link-prediction training over a PARTITIONED graph: adjacency AND
@@ -150,6 +165,15 @@ def make_partitioned_link_trainer(model, fanouts: Sequence[int], mesh, *,
     trees in its own distributed invocation — segment-local uids keep the
     P-invariance that a concatenated per-device seed list would break
     (the concat's global slot order depends on P).
+
+    ``weighted=True`` samples encoder trees proportional to edge weights
+    (graph built with ``edge_weights``); ``filter=((lo, hi), forward,
+    mode)`` applies the 3-mode temporal filter during tree expansion
+    (graph built with ``edge_timestamps``).  With a filter, the positive
+    edge's timestamp can be passed as an optional trailing ``edge_ts``
+    argument to ``train_step``/``eval_step`` — it seeds the root state of
+    all three segments (src, dst, and each of src's negatives), CTDNE-style
+    temporal link prediction.
     """
     import numpy as np
     from jax import shard_map
@@ -162,15 +186,20 @@ def make_partitioned_link_trainer(model, fanouts: Sequence[int], mesh, *,
     fanouts = tuple(int(k) for k in fanouts)
     tx = optax.adam(learning_rate)
     num_parts = int(mesh.shape[axis])
+    filter_static = None
+    if filter is not None:
+        filter_static = (tuple(int(v) for v in filter[0]), bool(filter[1]),
+                         int(filter[2]))
 
     def _encode_segment(params, key, gshard, x_shard, seeds_local, dev,
-                        deterministic):
+                        deterministic, seed_state=None):
         total = seeds_local.shape[0] * num_parts
         sample, s_ovf = _dist_sample_device(
             key, gshard, seeds_local, dev=dev, fanouts=fanouts, axis=axis,
             num_parts=num_parts, total_seeds=total,
             capacity_factor=capacity_factor, with_replacement=False,
-            num_rounds=num_rounds)
+            weighted=weighted, filter_static=filter_static,
+            seed_state=seed_state, window=window, num_rounds=num_rounds)
         n_rows = x_shard.shape[0] * num_parts
         ids = jnp.clip(sample.nodes, 0, n_rows - 1)
         cap = min(int(np.ceil(capacity_factor * ids.shape[0] / num_parts)),
@@ -184,24 +213,27 @@ def make_partitioned_link_trainer(model, fanouts: Sequence[int], mesh, *,
                         method=tree_forward)
         return h, s_ovf + f_ovf
 
-    def _loss(params, key, gshard, x_shard, src_local, dst_local, dev,
-              deterministic):
+    def _loss(params, key, gshard, x_shard, src_local, dst_local, ts_local,
+              dev, deterministic):
         L = src_local.shape[0]
-        # owner-probed negatives (uid-keyed: P-invariant)
+        # owner-probed negatives (uid-keyed: P-invariant); reject both
+        # endpoints so this is the same predicate as make_link_trainer
         neg, neg_ok, n_ovf = _dist_negative_device(
             rng.fold(key, 3), gshard, src_local, dev=dev, num_neg=num_neg,
             try_count=try_count, inbound=False, axis=axis,
             num_parts=num_parts, capacity_factor=capacity_factor,
-            num_rounds=num_rounds)
+            num_rounds=num_rounds, exclude=dst_local)
         h_src, o1 = _encode_segment(params, rng.fold(key, 4), gshard,
                                     x_shard, src_local.astype(jnp.int32),
-                                    dev, deterministic)
+                                    dev, deterministic, seed_state=ts_local)
         h_dst, o2 = _encode_segment(params, rng.fold(key, 5), gshard,
                                     x_shard, dst_local.astype(jnp.int32),
-                                    dev, deterministic)
+                                    dev, deterministic, seed_state=ts_local)
+        neg_ts = jnp.broadcast_to(ts_local[:, None],
+                                  (L, num_neg)).reshape(-1)
         h_neg, o3 = _encode_segment(params, rng.fold(key, 6), gshard,
                                     x_shard, neg.reshape(-1), dev,
-                                    deterministic)
+                                    deterministic, seed_state=neg_ts)
         h_neg = h_neg.reshape(L, num_neg, -1)
         pos = (h_src * h_dst).sum(-1)
         negs = (h_src[:, None, :] * h_neg).sum(-1)
@@ -221,11 +253,16 @@ def make_partitioned_link_trainer(model, fanouts: Sequence[int], mesh, *,
 
     repl, shard = P(), P(axis)
 
-    def init_fn(key, graph, x_sharded, src, dst):
+    def _ts_or_zeros(edge_ts, src):
+        if edge_ts is None:
+            return jnp.zeros(jnp.shape(src), jnp.int32)
+        return jnp.asarray(edge_ts, jnp.int32)
+
+    def init_fn(key, graph, x_sharded, src, dst, edge_ts=None):
         @functools.partial(shard_map, mesh=mesh,
-                           in_specs=(repl, shard, shard, shard),
+                           in_specs=(repl, shard, shard, shard, shard),
                            out_specs=repl)
-        def _init(key, gshard, x_shard, src_local):
+        def _init(key, gshard, x_shard, src_local, ts_local):
             dev = jax.lax.axis_index(axis)
             # init params from one segment's sample shapes
             total = src_local.shape[0] * num_parts
@@ -233,7 +270,9 @@ def make_partitioned_link_trainer(model, fanouts: Sequence[int], mesh, *,
                 key, gshard, src_local.astype(jnp.int32), dev=dev,
                 fanouts=fanouts, axis=axis, num_parts=num_parts,
                 total_seeds=total, capacity_factor=capacity_factor,
-                with_replacement=False, num_rounds=num_rounds)
+                with_replacement=False, weighted=weighted,
+                filter_static=filter_static, seed_state=ts_local,
+                window=window, num_rounds=num_rounds)
             n_rows = x_shard.shape[0] * num_parts
             ids = jnp.clip(sample.nodes, 0, n_rows - 1)
             cap = min(int(np.ceil(capacity_factor * ids.shape[0]
@@ -245,23 +284,25 @@ def make_partitioned_link_trainer(model, fanouts: Sequence[int], mesh, *,
             params = model.init(key, sample, x, method=tree_forward)
             return jax.lax.pmean(params, axis)
 
-        params = _init(key, graph, x_sharded, src)
+        params = _init(key, graph, x_sharded, src, _ts_or_zeros(edge_ts,
+                                                                src))
         return TrainState(params=params, opt_state=tx.init(params),
                           step=jnp.zeros((), jnp.int32))
 
     @jax.jit
-    def train_step(state: TrainState, key, graph, x_sharded, src, dst):
+    def _train_step_impl(state, key, graph, x_sharded, src, dst, edge_ts):
         @functools.partial(
             shard_map, mesh=mesh,
-            in_specs=(repl, repl, repl, repl, shard, shard, shard, shard),
+            in_specs=(repl, repl, repl, repl, shard, shard, shard, shard,
+                      shard),
             out_specs=(repl, repl, repl, repl))
         def _step(params, opt_state, step, key, gshard, x_shard, src_local,
-                  dst_local):
+                  dst_local, ts_local):
             dev = jax.lax.axis_index(axis)
             k = rng.fold(key, step)
             (loss, (rank, ovf)), grads = jax.value_and_grad(
                 _loss, has_aux=True)(params, k, gshard, x_shard, src_local,
-                                     dst_local, dev, False)
+                                     dst_local, ts_local, dev, False)
             grads = jax.lax.pmean(grads, axis)
             updates, new_opt = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
@@ -269,23 +310,34 @@ def make_partitioned_link_trainer(model, fanouts: Sequence[int], mesh, *,
 
         params, opt_state, loss, overflow = _step(
             state.params, state.opt_state, state.step, key, graph,
-            x_sharded, src, dst)
+            x_sharded, src, dst, edge_ts)
         return (TrainState(params, opt_state, state.step + 1), loss,
                 overflow)
 
+    def train_step(state: TrainState, key, graph, x_sharded, src, dst,
+                   edge_ts=None):
+        return _train_step_impl(state, key, graph, x_sharded, src, dst,
+                                _ts_or_zeros(edge_ts, src))
+
     @jax.jit
-    def eval_step(state: TrainState, key, graph, x_sharded, src, dst):
+    def _eval_step_impl(state, key, graph, x_sharded, src, dst, edge_ts):
         @functools.partial(
             shard_map, mesh=mesh,
-            in_specs=(repl, repl, shard, shard, shard, shard),
+            in_specs=(repl, repl, shard, shard, shard, shard, shard),
             out_specs=(repl, repl))
-        def _eval(params, key, gshard, x_shard, src_local, dst_local):
+        def _eval(params, key, gshard, x_shard, src_local, dst_local,
+                  ts_local):
             dev = jax.lax.axis_index(axis)
             k = rng.fold(key, jnp.asarray(1 << 20, jnp.uint32))
             loss, (rank, _) = _loss(params, k, gshard, x_shard, src_local,
-                                    dst_local, dev, True)
+                                    dst_local, ts_local, dev, True)
             return loss, rank
 
-        return _eval(state.params, key, graph, x_sharded, src, dst)
+        return _eval(state.params, key, graph, x_sharded, src, dst, edge_ts)
+
+    def eval_step(state: TrainState, key, graph, x_sharded, src, dst,
+                  edge_ts=None):
+        return _eval_step_impl(state, key, graph, x_sharded, src, dst,
+                               _ts_or_zeros(edge_ts, src))
 
     return init_fn, train_step, eval_step

@@ -390,7 +390,13 @@ def sample_neighbors(
     filter_static = None
     timestamps = None
     if filter is not None:
-        fcfg, input_state = filter
+        # reference parity: filter is (TemporalEdgeFilter, inputs_state)
+        # (python.rs:218-248); a bare TemporalEdgeFilter is accepted as a
+        # convenience with zero initial state.
+        if isinstance(filter, TemporalEdgeFilter):
+            fcfg, input_state = filter, jnp.zeros(inputs.shape, jnp.int32)
+        else:
+            fcfg, input_state = filter
         filter_static = (tuple(int(x) for x in fcfg.window), bool(fcfg.forward), int(fcfg.mode))
         timestamps = jnp.asarray(fcfg.timestamps, dtype=jnp.int32)
         input_state = jnp.asarray(input_state, dtype=jnp.int32)
