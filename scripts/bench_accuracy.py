@@ -317,13 +317,30 @@ def main():
                     help="steps for the torch sampled-reference path "
                          "(0 = skip); it runs one seed only")
     ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--data-dir", default=None,
+                    help="directory with REAL OGB data (graph.npz or the "
+                         "raw/ csv.gz layout — data.ogb.load_ogbn_dir); "
+                         "overrides the planted synthetic generator")
     args = ap.parse_args()
 
-    from tch_geometric_tpu.data.ogb import planted_ogbn
-    data, split = planted_ogbn(args.name, scale=args.scale, noise=args.noise)
+    if args.data_dir:
+        from tch_geometric_tpu.data.ogb import load_ogbn_dir
+        data, split = load_ogbn_dir(args.data_dir)
+        if not split:          # no split files: random 80/10/10
+            rng = np.random.default_rng(0)
+            perm = rng.permutation(data.x.shape[0])
+            n1, n2 = int(0.8 * len(perm)), int(0.9 * len(perm))
+            split = {"train": perm[:n1], "valid": perm[n1:n2],
+                     "test": perm[n2:]}
+        tag = f"real:{args.data_dir}"
+    else:
+        from tch_geometric_tpu.data.ogb import planted_ogbn
+        data, split = planted_ogbn(args.name, scale=args.scale,
+                                   noise=args.noise)
+        tag = f"planted {args.name} scale={args.scale}"
     n = data.x.shape[0]
     e = data.edge_index.shape[1]
-    log(f"planted {args.name} scale={args.scale}: N={n} E={e} "
+    log(f"{tag}: N={n} E={e} "
         f"C={int(data.y.max())+1} train/val/test="
         f"{len(split['train'])}/{len(split['valid'])}/{len(split['test'])}")
 
@@ -346,7 +363,8 @@ def main():
                               epochs=args.epochs)
 
     print(json.dumps({
-        "dataset": f"planted-{args.name}", "scale": args.scale,
+        "dataset": (f"real:{args.data_dir}" if args.data_dir
+                    else f"planted-{args.name}"), "scale": args.scale,
         "N": n, "E": e,
         "acc_ours_sampled": round(float(np.mean(ours)), 4),
         "acc_ours_std": round(float(np.std(ours)), 4),

@@ -137,6 +137,18 @@ def main():
         log(f"attend (fused 2-krn): {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} "
             f"Gedge/s (compile {cs:.0f}s)")
 
+    # ONE-kernel flash attend (single read of the gathered tensor)
+    if want("attend_flash"):
+        from tch_geometric_tpu.ops.attention_blocked import (
+            attend_blocked_flash)
+        for rs, tag in ((True, "row"), (False, "scalar")):
+            dt, cs = timed(chain(
+                lambda e, rs=rs: attend_blocked_flash(
+                    b, x + e, x + e, row_stats=rs).sum()))
+            rows.append((f"attend_flash_{tag}", dt))
+            log(f"attend (flash {tag:6s}): {dt*1e3:7.2f} ms  "
+                f"{E/dt/1e9:6.3f} Gedge/s (compile {cs:.0f}s)")
+
     # 4-head GAT aggregation
     if want("gat_4head"):
         dt, cs = timed(chain(
@@ -162,6 +174,7 @@ def main():
         # share the pre-gathered (T, C, F) tensor (attention_blocked.py)
         gathers = {"sddmm": 1, "edge_softmax": 0, "weighted_spmm": 1,
                    "attend_full": 1, "attend_fused": 1,
+                   "attend_flash_row": 1, "attend_flash_scalar": 1,
                    "gat_4head": 0}[name]
         if gathers:
             log(f"  {name}: {gathers*dtf/dt*100:.1f}% of its "

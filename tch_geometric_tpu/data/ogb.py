@@ -28,6 +28,7 @@ def load_ogbn(name: str, root: str = "data/ogb") -> Data:
     except ImportError as e:
         raise ImportError(
             "the 'ogb' package is not installed in this environment; use "
+            "load_ogbn_dir(path) on a pre-downloaded dataset directory, or "
             "tch_geometric_tpu.data.ogb.synthetic_ogbn(name) for a "
             "scale-matched synthetic stand-in") from e
     ds = NodePropPredDataset(name=name, root=root)
@@ -35,6 +36,83 @@ def load_ogbn(name: str, root: str = "data/ogb") -> Data:
     return Data(x=g["node_feat"].astype(np.float32),
                 edge_index=g["edge_index"].astype(np.int64),
                 y=labels.reshape(-1).astype(np.int64))
+
+
+def load_ogbn_dir(path: str):
+    """Load a real OGB node-property dataset from a LOCAL directory — no
+    ``ogb`` package, no network (VERDICT r3 item 7: the escape hatch that
+    runs the accuracy harness on real data the moment it is present).
+
+    Two layouts are accepted, probed in order:
+
+    1. ``<path>/graph.npz`` — a single npz with ``x (N, F) float``,
+       ``edge_index (2, E) int``, ``y (N,) int`` and optional
+       ``train_idx``/``valid_idx``/``test_idx``.  Convert once from any
+       source; fastest to load.  From a machine WITH the ogb package::
+
+           from ogb.nodeproppred import NodePropPredDataset
+           g, lab = NodePropPredDataset("ogbn-arxiv", root=r)[0]
+           s = NodePropPredDataset("ogbn-arxiv", root=r).get_idx_split()
+           np.savez(f"{d}/graph.npz", x=g["node_feat"],
+                    edge_index=g["edge_index"], y=lab.reshape(-1),
+                    train_idx=s["train"], valid_idx=s["valid"],
+                    test_idx=s["test"])
+
+    2. the OGB download's standard raw layout (package-independent
+       csv.gz files)::
+
+           <path>/raw/edge.csv.gz            # E rows "src,dst"
+           <path>/raw/node-feat.csv.gz       # N rows of F floats
+           <path>/raw/node-label.csv.gz      # N rows
+           <path>/split/<scheme>/{train,valid,test}.csv.gz
+
+       (<scheme> is e.g. ``time`` for arxiv, ``sales_ranking`` for
+       products; the first directory found is used.)
+
+    Returns ``(Data, split)`` where split maps
+    ``{"train","valid","test"}`` to int64 index arrays (empty dict if no
+    split files exist).  Run the harness with::
+
+        python scripts/bench_accuracy.py --data-dir /path/to/ogbn_arxiv
+    """
+    import glob
+    import os
+
+    npz = os.path.join(path, "graph.npz")
+    if os.path.exists(npz):
+        d = np.load(npz)
+        data = Data(x=d["x"].astype(np.float32),
+                    edge_index=d["edge_index"].astype(np.int64),
+                    y=d["y"].reshape(-1).astype(np.int64))
+        split = {k: d[f"{k}_idx"].reshape(-1).astype(np.int64)
+                 for k in ("train", "valid", "test")
+                 if f"{k}_idx" in d.files}
+        return data, split
+
+    raw = os.path.join(path, "raw")
+    if not os.path.isdir(raw):
+        raise FileNotFoundError(
+            f"{path!r} has neither graph.npz nor a raw/ OGB layout; see "
+            "load_ogbn_dir's docstring for the expected files")
+    # np.loadtxt decompresses .gz transparently
+    edge = np.loadtxt(os.path.join(raw, "edge.csv.gz"), delimiter=",",
+                      dtype=np.int64, ndmin=2)
+    x = np.loadtxt(os.path.join(raw, "node-feat.csv.gz"), delimiter=",",
+                   dtype=np.float32, ndmin=2)
+    y = np.loadtxt(os.path.join(raw, "node-label.csv.gz"), delimiter=",",
+                   dtype=np.int64).reshape(-1)
+    split = {}
+    for sdir in sorted(glob.glob(os.path.join(path, "split", "*"))):
+        got = {}
+        for k in ("train", "valid", "test"):
+            f = os.path.join(sdir, f"{k}.csv.gz")
+            if os.path.exists(f):
+                got[k] = np.loadtxt(f, delimiter=",",
+                                    dtype=np.int64).reshape(-1)
+        if got:
+            split = got
+            break
+    return Data(x=x, edge_index=edge.T.copy(), y=y), split
 
 
 def synthetic_ogbn(name: str, *, seed: int = 0,

@@ -677,6 +677,182 @@ def _att_w_fused_kernel(chunk_block_ref, lr_sub_ref, lr_ref, s_ref, m_ref,
         out_ref[:] = out_ref[:] + part
 
 
+# ---------------------------------------------------------------------------
+# ONE-kernel flash attend: online-rescaled output accumulator
+# ---------------------------------------------------------------------------
+
+def _flash_kernel_row(chunk_block_ref, lr_lane_ref, g_ref, xd_ref,
+                      out_ref, m_ref, z_ref):
+    """Flash-attention recurrence on graph neighborhoods, ONE traversal.
+
+    The 2-kernel fused attend reads the gathered (T, C, F) tensor twice
+    (once per pass), putting its floor at gather + 2 streams (~67% of the
+    1-gather wall).  Here the normalization never needs a second pass:
+    the output tile accumulates UNNORMALIZED exp-weighted messages and is
+    rescaled by ``exp(m_old - m_new)`` whenever the running row max moves
+    — the flash-attention trick, with dst-row blocks playing the role of
+    query tiles.  The final ``out / z`` division happens outside in XLA
+    (one cheap stream over the output, fused into whatever consumes it).
+
+    Everything is kept in the (W, C) orientation so all stats land as
+    (W, 1) sublane vectors that broadcast over the (W, F) output tile
+    without any in-kernel transposes; per-edge quantities are (1, C) lane
+    vectors.  Only O(C) exps are evaluated per chunk (per-edge), never
+    O(C*W) — the masked (W, C) tiles see only compare/select/min-max/sum
+    single-op passes.
+    """
+    t = pl.program_id(0)
+    blk = chunk_block_ref[t]
+    prev_blk = chunk_block_ref[jnp.maximum(t - 1, 0)]
+    first = jnp.logical_or(t == 0, blk != prev_blk)
+
+    lr = lr_lane_ref[0]                                  # (1, C) lanes
+    W = out_ref.shape[0]
+    C = lr.shape[-1]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+    ohT = iota_w == lr                                   # (W, C)
+
+    # scores in (W, C) orientation: P2[w, c] = <xd_w, g_c> (xd pre-scaled)
+    P2 = jax.lax.dot_general(
+        xd_ref[:], g_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (W, C)
+    s = jnp.where(ohT, P2, 0.0).sum(axis=0, keepdims=True)       # (1, C)
+
+    m_c = jnp.where(ohT, s, NEG_INF).max(axis=1, keepdims=True)  # (W, 1)
+    m_old = m_ref[:]
+    m_new = jnp.where(first, m_c, jnp.maximum(m_old, m_c))
+    m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+    # per-edge running row max, via one masked sublane reduce
+    m_e = jnp.where(ohT, m_safe, NEG_INF).max(axis=0, keepdims=True)
+    e = jnp.where(jnp.isfinite(m_e), jnp.exp(s - m_e), 0.0)      # (1, C)
+    z_c = jnp.where(ohT, e, 0.0).sum(axis=1, keepdims=True)      # (W, 1)
+
+    # exp weight folded into the ONE-HOT side: (W, C) orientation keeps
+    # every stat sublane-major; the (W, C) f32 select+cast is one pass
+    ohw = jnp.where(ohT, e, 0.0).astype(g_ref.dtype)
+    part = jnp.dot(ohw, g_ref[0], preferred_element_type=jnp.float32)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = part
+        m_ref[:] = m_c
+        z_ref[:] = z_c
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        r_old = jnp.where(jnp.isfinite(m_old),
+                          jnp.exp(m_old - m_safe), 0.0)          # (W, 1)
+        out_ref[:] = out_ref[:] * r_old + part
+        m_ref[:] = m_new
+        z_ref[:] = z_ref[:] * r_old + z_c
+
+
+def _flash_kernel_scalar(chunk_block_ref, lr_lane_ref, g_ref, xd_ref,
+                         out_ref, m_ref, z_ref):
+    """Scalar-chunk-max variant: the stabilizing max is one scalar per
+    chunk (the chunk's score max) instead of per dst row — three fewer
+    masked (W, C) passes.  exp(s - M_chunk) <= 1 for every edge of the
+    chunk, so accumulation cannot overflow; a row whose scores sit more
+    than ~80 below the block max underflows its weights to 0 (acceptable
+    for any realistically-scaled scores; the exact per-row variant exists
+    for the rest)."""
+    t = pl.program_id(0)
+    blk = chunk_block_ref[t]
+    prev_blk = chunk_block_ref[jnp.maximum(t - 1, 0)]
+    first = jnp.logical_or(t == 0, blk != prev_blk)
+
+    lr = lr_lane_ref[0]                                  # (1, C)
+    W = out_ref.shape[0]
+    C = lr.shape[-1]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+    ohT = iota_w == lr                                   # (W, C)
+
+    P2 = jax.lax.dot_general(
+        xd_ref[:], g_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (W, C)
+    s = jnp.where(ohT, P2, 0.0).sum(axis=0, keepdims=True)       # (1, C)
+    # pad lanes (lr == W) have empty one-hot columns -> s = 0; mask them
+    # out of the chunk max with the lr sentinel
+    valid = lr < W                                       # (1, C)
+    M = jnp.max(jnp.where(valid, s, NEG_INF))            # scalar
+    M = jnp.where(jnp.isfinite(M), M, 0.0)
+    e = jnp.where(valid, jnp.exp(s - M), 0.0)            # (1, C)
+    z_c = jnp.where(ohT, e, 0.0).sum(axis=1, keepdims=True)      # (W, 1)
+    ohw = jnp.where(ohT, e, 0.0).astype(g_ref.dtype)
+    part = jnp.dot(ohw, g_ref[0], preferred_element_type=jnp.float32)
+
+    m_c = jnp.full((W, 1), M, jnp.float32)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = part
+        m_ref[:] = m_c
+        z_ref[:] = z_c
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        m_old = m_ref[:]
+        m_new = jnp.maximum(m_old, m_c)
+        r_old = jnp.exp(m_old - m_new)                   # (W, 1)
+        r_c = jnp.exp(m_c - m_new)
+        out_ref[:] = out_ref[:] * r_old + part * r_c
+        m_ref[:] = m_new
+        z_ref[:] = z_ref[:] * r_old + z_c * r_c
+
+
+def attend_blocked_flash(b: BlockedCsr, x_dst: jax.Array, x_src: jax.Array,
+                         *, scale: float | None = None,
+                         compute_dtype=jnp.bfloat16,
+                         row_stats: bool = True,
+                         interpret: bool = False) -> jax.Array:
+    """softmax(<x_dst, x_src>*scale)-weighted aggregation in ONE kernel.
+
+    Same semantics as :func:`attend_blocked` / :func:`attend_blocked_fused`
+    but the gathered (T, C, F) tensor is read exactly ONCE: scores, online
+    softmax stats and the exp-weighted MXU contraction all happen in a
+    single traversal with a flash-attention-style rescaled output
+    accumulator; the final per-row ``/ z`` runs outside in XLA.
+
+    ``row_stats=False`` stabilizes with one scalar max per chunk instead
+    of per-row running maxima (fewer masked passes; weights of rows ~80
+    log-units below the block max underflow to 0)."""
+    W = b.rows_per_block
+    T, C = b.edge_src.shape
+    F = x_src.shape[-1]
+    B = b.num_blocks
+    assert C % 128 == 0 and W % 128 == 0
+    sc = float(scale if scale is not None else 1.0 / (F ** 0.5))
+
+    g = x_src.astype(compute_dtype)[b.edge_src]          # THE gather
+    xd = _pad_dst(b, (x_dst * sc).astype(compute_dtype))
+    lr_lane = b.edge_local_row.reshape(T, 1, C)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, C), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, C, F), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((W, F), lambda t, cb: (cb[t], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((W, F), lambda t, cb: (cb[t], 0)),
+            pl.BlockSpec((W, 1), lambda t, cb: (cb[t], 0)),
+            pl.BlockSpec((W, 1), lambda t, cb: (cb[t], 0)),
+        ],
+    )
+    kernel = _flash_kernel_row if row_stats else _flash_kernel_scalar
+    out, _m, z = pl.pallas_call(
+        kernel,
+        grid_spec=grid,
+        out_shape=[jax.ShapeDtypeStruct((B * W, F), jnp.float32),
+                   jax.ShapeDtypeStruct((B * W, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B * W, 1), jnp.float32)],
+        interpret=interpret,
+    )(b.chunk_block, lr_lane, g, xd)
+    return (out / jnp.maximum(z, 1e-38))[: b.num_rows]
+
+
 def attend_blocked_fused(b: BlockedCsr, x_dst: jax.Array, x_src: jax.Array,
                          *, scale: float | None = None,
                          compute_dtype=jnp.bfloat16,

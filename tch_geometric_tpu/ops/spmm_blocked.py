@@ -237,6 +237,75 @@ def build_blocked_segmented(indptr, indices, *, num_segments: int,
     )
 
 
+@struct.dataclass
+class HotSplitCsr:
+    """Hot/cold split of a blocked CSR for power-law graphs.
+
+    Round-3 measurement (scripts/micro_dedup_factor.py, products power-law):
+    the top-16k sources cover 31% of edges and repeat within chunks
+    (hot uniq/chunk = 0.84), while big-table gathers run ~4x slower per
+    access than <=64 MB-table gathers (BASELINE.md).  The split exploits
+    both: cold edges gather from the full table as before; hot edges are
+    DEDUPED per (dst row, hot source) with the multiplicity folded into an
+    edge weight, and their (much smaller) gather targets the compact
+    ``x[hot_ids]`` table.  Exact for sum/mean aggregation.
+    """
+
+    cold: BlockedCsr
+    hot: BlockedCsr               # edge_src indexes the HOT table [0, K)
+    hot_ids: jax.Array            # (K,) int32 global ids of hot sources
+    hot_count: jax.Array          # (Th, Ch) f32 multiplicity per hot lane
+    degree: jax.Array             # (N,) original row degrees (for mean)
+    num_rows: int = struct.field(pytree_node=False, default=0)
+
+
+def build_blocked_hot(indptr, indices, *, hot_k: int = 16384,
+                      rows_per_block: int = 128,
+                      chunk_edges: Optional[int] = None) -> HotSplitCsr:
+    """Host-side hot/cold split build (numpy).
+
+    ``hot_k`` caps the hot-source table (top-k by in-multiset frequency);
+    the hot table at F=128 bf16 is ``hot_k * 256 B`` (4 MB at 16k) — well
+    inside the fast small-table gather regime.
+    """
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    N = indptr.shape[0] - 1
+    E = indices.shape[0]
+    deg = np.diff(indptr)
+    K = int(min(hot_k, N))
+
+    freq = np.bincount(indices, minlength=N)
+    hot_ids = np.argsort(-freq, kind="stable")[:K].astype(np.int64)
+    hot_slot = np.full((N,), -1, np.int64)
+    hot_slot[hot_ids] = np.arange(K)
+
+    dst = np.repeat(np.arange(N, dtype=np.int64), deg)
+    is_hot = hot_slot[indices] >= 0
+
+    cold_dst = dst[~is_hot]
+    cold_src = indices[~is_hot]
+    cold_indptr = np.searchsorted(cold_dst, np.arange(N + 1))
+
+    # dedup hot edges per (dst row, hot slot); multiplicity -> weight
+    hkey = dst[is_hot] * K + hot_slot[indices[is_hot]]
+    uk, counts = np.unique(hkey, return_counts=True)
+    hot_dst = uk // K
+    hot_src = (uk % K).astype(np.int64)
+    hot_indptr = np.searchsorted(hot_dst, np.arange(N + 1))
+
+    cold = build_blocked(cold_indptr, cold_src, rows_per_block=rows_per_block,
+                         chunk_edges=chunk_edges)
+    hot = build_blocked(hot_indptr, hot_src, rows_per_block=rows_per_block,
+                        chunk_edges=chunk_edges)
+    hot_count = edge_attr_to_blocked(hot, jnp.asarray(counts, jnp.float32))
+    return HotSplitCsr(cold=cold, hot=hot,
+                       hot_ids=jnp.asarray(hot_ids, jnp.int32),
+                       hot_count=hot_count,
+                       degree=jnp.asarray(deg, jnp.int32),
+                       num_rows=int(N))
+
+
 def edge_attr_to_blocked(b: BlockedCsr, attr: jax.Array) -> jax.Array:
     """Map CSR-edge-ordered per-edge attributes into the (T, C) blocked
     layout (invalid lanes -> 0).  Inverse of ``b.edge_ptr``."""

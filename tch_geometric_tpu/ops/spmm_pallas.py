@@ -137,6 +137,40 @@ def spmm_blocked_segmented(seg, x: jax.Array, *, agg: str = "sum",
     return out
 
 
+def spmm_hot_split(hs, x: jax.Array, *, agg: str = "sum",
+                   compute_dtype=jnp.bfloat16,
+                   interpret: bool = False) -> jax.Array:
+    """Hot/cold split SpMM over a :class:`~.spmm_blocked.HotSplitCsr`.
+
+    Cold edges run the standard blocked kernel against the full feature
+    table; hot edges (deduped per (row, hot source), multiplicity as an
+    edge weight) run the weighted kernel against the compact
+    ``x[hot_ids]`` table (one cheap K-row gather).  Exact same result as
+    ``spmm_blocked`` on the unsplit graph, fewer and faster row fetches
+    on power-law graphs (see HotSplitCsr).
+    """
+    from .attention_blocked import spmm_blocked_weighted_pallas
+    from .spmm_blocked import spmm_blocked
+
+    if jax.default_backend() == "tpu" and not interpret:
+        cold = spmm_blocked_pallas(hs.cold, x, agg="sum",
+                                   compute_dtype=compute_dtype)
+    else:
+        cold = spmm_blocked(hs.cold, x, agg="sum",
+                            compute_dtype=compute_dtype)
+    x_hot = x[hs.hot_ids]                        # (K, F): small fast table
+    hot = spmm_blocked_weighted_pallas(hs.hot, x_hot, hs.hot_count,
+                                       compute_dtype=compute_dtype,
+                                       interpret=interpret)
+    n = hs.num_rows
+    out = cold[:n] + hot[:n]
+    if agg == "mean":
+        out = out / jnp.maximum(hs.degree, 1)[:, None].astype(out.dtype)
+    elif agg != "sum":
+        raise ValueError(f"unsupported agg {agg!r}")
+    return out
+
+
 def quantize_rows(x: jax.Array):
     """Per-row symmetric int8 quantization: returns (q int8, scale f32)."""
     amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)

@@ -188,3 +188,48 @@ def test_attend_fused_matches_composed(graph):
         b, jnp.asarray(x_dst), jnp.asarray(x_src),
         compute_dtype=jnp.float32, interpret=True))
     np.testing.assert_allclose(fused, composed, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("row_stats", [True, False])
+def test_attend_flash_matches_composed(graph, row_stats):
+    """attend_blocked_flash (ONE kernel, flash-rescaled accumulator) must
+    match the composed pipeline; both stat variants."""
+    from tch_geometric_tpu.ops.attention_blocked import attend_blocked_flash
+    indptr, src, b, x_dst, x_src = graph
+    composed = np.asarray(attend_blocked(
+        b, jnp.asarray(x_dst), jnp.asarray(x_src),
+        compute_dtype=jnp.float32, interpret=True))
+    flash = np.asarray(attend_blocked_flash(
+        b, jnp.asarray(x_dst), jnp.asarray(x_src),
+        compute_dtype=jnp.float32, row_stats=row_stats, interpret=True))
+    np.testing.assert_allclose(flash, composed, rtol=2e-4, atol=2e-4)
+
+
+def test_spmm_hot_split_exact():
+    """Hot/cold split SpMM (dedup + compact hot table) is exact vs the
+    unsplit blocked kernel on a power-law graph, for sum and mean."""
+    from tch_geometric_tpu.ops.spmm_blocked import (build_blocked,
+                                                    build_blocked_hot,
+                                                    spmm_blocked)
+    from tch_geometric_tpu.ops.spmm_pallas import spmm_hot_split
+    rng = np.random.default_rng(0)
+    N, E, F = 1024, 20000, 128
+    pop = (1.0 / (np.arange(N) + 10.0)) ** 0.8
+    pop /= pop.sum()
+    src = rng.choice(N, size=E, p=pop)
+    dst = np.sort(rng.integers(0, N, E))
+    indptr = np.searchsorted(dst, np.arange(N + 1))
+    x = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    b = build_blocked(indptr, src.astype(np.int64), rows_per_block=128)
+    hs = build_blocked_hot(indptr, src.astype(np.int64), hot_k=128,
+                           rows_per_block=128)
+    # the split conserves the edge multiset
+    assert (int(np.asarray(hs.cold.edge_valid).sum())
+            + int(np.asarray(hs.hot_count).sum())) == E
+    for agg in ("sum", "mean"):
+        ref = np.asarray(spmm_blocked(b, x, agg=agg,
+                                      compute_dtype=jnp.float32))
+        out = np.asarray(spmm_hot_split(hs, x, agg=agg,
+                                        compute_dtype=jnp.float32,
+                                        interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)

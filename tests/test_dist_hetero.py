@@ -131,3 +131,77 @@ def test_hetero_neighbor_weighted_relation(hetero):
     got = np.concatenate([np.asarray(eptr[r0][d])[np.asarray(ev[r0][d])]
                           for d in range(Pn)])
     assert got.size and np.all(np.isin(got, heavy)), "non-heavy edge sampled"
+
+
+def test_hetero_neighbor_temporal_filter(hetero):
+    """VERDICT r3 item 5: the distributed typed path's TemporalEdgeFilter.
+
+    STATIC mode: with per-rel edge timestamps and k >= max degree, every
+    sampled edge's timestamp falls in the window and EXACTLY the
+    admissible in-edges of each seed are returned; results are
+    P-invariant.  RELATIVE mode: admissibility is relative to each seed's
+    input timestamp."""
+    from tch_geometric_tpu.utils.config import (TEMPORAL_SAMPLE_RELATIVE,
+                                                TEMPORAL_SAMPLE_STATIC)
+
+    node_counts, edge_types, cp, ri = hetero
+    types = sorted(node_counts)
+    e0 = edge_types[0]
+    r0 = rel_key(e0)
+    rng = np.random.default_rng(11)
+    ts = {r: rng.integers(0, 100, ri[r].shape[0]).astype(np.int64)
+          for r in ri}
+    inputs = {e0[2]: np.arange(8, dtype=np.int64)}   # seeds in r0's dst type
+    k = 24                                           # >= fakehetero max deg
+    nn = {rel_key(e): ([k] if rel_key(e) == r0 else [0])
+          for e in edge_types}
+
+    results = {}
+    for Pn in (1, 2, 4):
+        rels = build_partitioned_hetero(cp, ri, edge_types, Pn,
+                                        edge_timestamps=ts,
+                                        node_counts=node_counts)
+        (nodes, _nts, _nv, rows, cols, eptr, ev), ovf = \
+            dist_hetero_neighbor_sample(
+                jax.random.key(9), rels, edge_types, inputs, nn, 1,
+                _mesh(Pn), filter=((0, 50), True, TEMPORAL_SAMPLE_STATIC),
+                capacity_factor=8.0)
+        assert int(np.asarray(ovf).sum()) == 0
+        got = np.concatenate([np.asarray(eptr[r0][d])[np.asarray(ev[r0][d])]
+                              for d in range(Pn)])
+        assert got.size
+        assert np.all((ts[r0][got] >= 0) & (ts[r0][got] <= 50))
+        results[Pn] = sorted(got.tolist())
+    for Pn in (2, 4):
+        assert results[1] == results[Pn], f"P={Pn} differs"
+    # exactness: k >= deg -> the admissible edge SET of the seeds
+    ip = cp[r0]
+    admissible = np.concatenate([
+        np.arange(ip[v], ip[v + 1]) for v in range(8)])
+    admissible = admissible[(ts[r0][admissible] >= 0)
+                            & (ts[r0][admissible] <= 50)]
+    assert results[1] == sorted(admissible.tolist())
+
+    # RELATIVE: window (-10, 10) around each seed's own timestamp
+    seed_ts = rng.integers(20, 80, 8).astype(np.int64)
+    rels = build_partitioned_hetero(cp, ri, edge_types, 2,
+                                    edge_timestamps=ts,
+                                    node_counts=node_counts)
+    (nodes, _nts, _nv, rows, cols, eptr, ev), ovf = \
+        dist_hetero_neighbor_sample(
+            jax.random.key(9), rels, edge_types, inputs, nn, 1, _mesh(2),
+            input_timestamps={e0[2]: seed_ts},
+            filter=((-10, 10), True, TEMPORAL_SAMPLE_RELATIVE),
+            capacity_factor=8.0)
+    assert int(np.asarray(ovf).sum()) == 0
+    # per-device blocks cover seeds [d*4, (d+1)*4); hop edges are laid out
+    # seed-major with k lanes per (seed, rel) slot
+    for d in range(2):
+        ee = np.asarray(eptr[r0][d]).reshape(4, k)
+        vv = np.asarray(ev[r0][d]).reshape(4, k)
+        for i in range(4):
+            root = seed_ts[d * 4 + i]
+            got = ee[i][vv[i]]
+            lo, hi = root - 10, root + 10
+            assert np.all((ts[r0][got] - root >= -10)
+                          & (ts[r0][got] - root <= 10)), (d, i)
