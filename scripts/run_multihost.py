@@ -94,6 +94,39 @@ def worker(args):
     out["ng_w"] = shards(nw).reshape(-1)
     out["ng_acc"] = shards(nacc).reshape(-1)
 
+    # typed samplers over a partitioned hetero topology (VERDICT r3 item 5:
+    # every distributed family in the multi-process bit-identity rig) —
+    # two relations sharing the karate adjacency, seeds in type "a"
+    from tch_geometric_tpu.parallel.dist_hetero import (
+        dist_hetero_neighbor_sample)
+    from tch_geometric_tpu.parallel.dist_hgt import (build_partitioned_hetero,
+                                                     dist_hgt_sample)
+    edge_types = [("a", "r0", "a"), ("b", "r1", "a")]
+    node_counts = {"a": 34, "b": 34}
+    cph = {"a__r0__a": np.asarray(cp), "b__r1__a": np.asarray(cp)}
+    rih = {"a__r0__a": np.asarray(ri), "b__r1__a": np.asarray(ri)}
+    rels = build_partitioned_hetero(cph, rih, edge_types, Pn,
+                                    node_counts=node_counts)
+    (dn, _dts, dnv, _dr, _dc, deptr, dev_), h_ovf = \
+        dist_hetero_neighbor_sample(
+            key, rels, edge_types, {"a": np.arange(8, dtype=np.int64)},
+            {"a__r0__a": [3, 2], "b__r1__a": [2, 2]}, 2, mesh,
+            capacity_factor=8.0)
+    out["ht_nodes_a"] = shards(dn["a"])
+    out["ht_valid_a"] = shards(dnv["a"])
+    out["ht_nodes_b"] = shards(dn["b"])
+    out["ht_eptr"] = shards(deptr["a__r0__a"])
+    out["ht_ev"] = shards(dev_["a__r0__a"])
+
+    (hn, _hts, hv, _hr, _hc, he, hev), g_ovf = dist_hgt_sample(
+        key, rels, edge_types, {"a": np.arange(4)},
+        {"a": [4, 4], "b": [4, 4]}, 2, mesh, node_counts=node_counts,
+        capacity_factor=8.0)
+    out["rep_hgt_nodes_a"] = np.asarray(hn["a"])     # replicated output
+    out["rep_hgt_valid_a"] = np.asarray(hv["a"])
+    out["hgt_eptr"] = shards(he["a__r0__a"])
+    out["hgt_ev"] = shards(hev["a__r0__a"])
+
     # one partitioned-trainer step (grads psum across processes)
     from tch_geometric_tpu.models import GraphSAGE
     from tch_geometric_tpu.parallel.dist_sampling import (
@@ -129,7 +162,7 @@ def assemble(outdir, procs):
              for i in range(procs)]
     keys = parts[0].files
     return {k: np.concatenate([p[k] for p in parts])
-            if parts[0][k].ndim and k.split("_")[0] != "train"
+            if parts[0][k].ndim and k.split("_")[0] not in ("train", "rep")
             else parts[0][k] for k in keys}
 
 
@@ -176,7 +209,7 @@ def main():
     print(json.dumps({"multihost": "bit-identical", "procs": args.procs,
                       "devices": total, "families":
                       ["neighbor", "budget", "ctdne", "negative",
-                       "trainer"]}))
+                       "hetero", "hgt", "trainer"]}))
 
 
 if __name__ == "__main__":
