@@ -100,6 +100,15 @@ def main():
         log(f"sddmm               : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} "
             f"Gedge/s (compile {cs:.0f}s)")
 
+    if want("sddmm_v2"):
+        from tch_geometric_tpu.ops.attention_blocked import (
+            sddmm_blocked_pallas_v2)
+        dt, cs = timed(chain(
+            lambda e: sddmm_blocked_pallas_v2(b, x + e, x + e).sum()))
+        rows.append(("sddmm_v2", dt))
+        log(f"sddmm v2 (lane-maj) : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} "
+            f"Gedge/s (compile {cs:.0f}s)")
+
     # edge softmax over per-iteration-shifted scores
     if want("edge_softmax") or want("weighted_spmm"):
         s0 = sddmm_blocked_pallas(b, x, x)
@@ -172,8 +181,8 @@ def main():
     for name, dt in rows:
         # attend_full pays ONE gather since the SDDMM/weighted kernels
         # share the pre-gathered (T, C, F) tensor (attention_blocked.py)
-        gathers = {"sddmm": 1, "edge_softmax": 0, "weighted_spmm": 1,
-                   "attend_full": 1, "attend_fused": 1,
+        gathers = {"sddmm": 1, "sddmm_v2": 1, "edge_softmax": 0,
+                   "weighted_spmm": 1, "attend_full": 1, "attend_fused": 1,
                    "attend_flash_row": 1, "attend_flash_scalar": 1,
                    "gat_4head": 0}[name]
         if gathers:

@@ -179,6 +179,7 @@ class SegmentedBlockedCsr:
     chunk_block: jax.Array     # (S, Tp) int32 block id LOCAL to the segment
     block_start: jax.Array     # (S, Bp+1) int32 local first-chunk per block
     degree: jax.Array          # (N,) int32 global row degrees (for mean)
+    edge_weight: Optional[jax.Array] = None  # (S, Tp, C) f32 (0 on pads)
     num_rows: int = struct.field(pytree_node=False, default=0)
     rows_per_block: int = struct.field(pytree_node=False, default=128)
     chunk_edges: int = struct.field(pytree_node=False, default=2048)
@@ -192,15 +193,28 @@ class SegmentedBlockedCsr:
 def build_blocked_segmented(indptr, indices, *, num_segments: int,
                             rows_per_block: int = 128,
                             chunk_edges: Optional[int] = None,
-                            sort_chunk_sources: bool = True
-                            ) -> SegmentedBlockedCsr:
-    """Host-side build of the segmented layout (see SegmentedBlockedCsr)."""
+                            sort_chunk_sources: bool = True,
+                            edge_attr=None) -> SegmentedBlockedCsr:
+    """Host-side build of the segmented layout (see SegmentedBlockedCsr).
+
+    ``edge_attr``: optional (E,) per-edge weights in CSR edge order,
+    mapped into the (S, Tp, C) blocked layout (0 on pad lanes) — the
+    segmented twin of :func:`edge_attr_to_blocked`."""
     W = rows_per_block
     o = _build_blocked_np(indptr, indices, W, chunk_edges, sort_chunk_sources)
     B, C = o["num_blocks"], o["chunk_edges"]
     S = max(1, min(int(num_segments), B))
     Bp = -(-B // S)
     bs = o["block_start"].astype(np.int64)          # (B+1,) global chunk ids
+
+    attr_blk = None
+    if edge_attr is not None:
+        edge_attr = np.asarray(edge_attr, np.float32)
+        E = edge_attr.shape[0]
+        ep = o["edge_ptr"]
+        attr_blk = np.where(ep >= 0,
+                            edge_attr[np.clip(ep, 0, max(E - 1, 0))],
+                            0.0).astype(np.float32)          # (T, C)
 
     seg_blk0 = np.minimum(np.arange(S + 1) * Bp, B)
     seg_t0 = bs[seg_blk0]                            # (S+1,) chunk ranges
@@ -211,11 +225,14 @@ def build_blocked_segmented(indptr, indices, *, num_segments: int,
     lr = np.full((S, Tp, C), W, np.int32)            # pads: no one-hot match
     cb = np.zeros((S, Tp), np.int32)
     bstart = np.zeros((S, Bp + 1), np.int32)
+    wt = np.zeros((S, Tp, C), np.float32) if attr_blk is not None else None
     for s in range(S):
         t0, t1 = int(seg_t0[s]), int(seg_t0[s + 1])
         n = t1 - t0
         es[s, :n] = o["edge_src"][t0:t1]
         lr[s, :n] = o["local_row"][t0:t1]
+        if wt is not None:
+            wt[s, :n] = attr_blk[t0:t1]
         local_cb = o["chunk_block"][t0:t1] - int(seg_blk0[s])
         cb[s, :n] = local_cb
         # pad chunks point at the segment's last real block: the kernel
@@ -230,11 +247,69 @@ def build_blocked_segmented(indptr, indices, *, num_segments: int,
         chunk_block=jnp.asarray(cb),
         block_start=jnp.asarray(bstart),
         degree=jnp.asarray(o["degree"]),
+        edge_weight=None if wt is None else jnp.asarray(wt),
         num_rows=o["num_rows"],
         rows_per_block=W,
         chunk_edges=C,
         blocks_per_segment=Bp,
     )
+
+
+@struct.dataclass
+class HotSplitSeg:
+    """Segmented hot/cold split (see HotSplitCsr) for full-graph SpMM at
+    scales where the gathered intermediate must be bounded."""
+
+    cold: SegmentedBlockedCsr
+    hot: SegmentedBlockedCsr      # edge_weight carries the multiplicities
+    hot_ids: jax.Array            # (K,) int32 global ids of hot sources
+    degree: jax.Array             # (N,) original row degrees
+    num_rows: int = struct.field(pytree_node=False, default=0)
+
+
+def build_blocked_hot_segmented(indptr, indices, *, hot_k: int = 16384,
+                                num_segments: int,
+                                rows_per_block: int = 128,
+                                chunk_edges: Optional[int] = None
+                                ) -> HotSplitSeg:
+    """Segmented twin of :func:`build_blocked_hot`."""
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    N = indptr.shape[0] - 1
+    deg = np.diff(indptr)
+    K = int(min(hot_k, N))
+
+    freq = np.bincount(indices, minlength=N)
+    hot_ids = np.argsort(-freq, kind="stable")[:K].astype(np.int64)
+    hot_slot = np.full((N,), -1, np.int64)
+    hot_slot[hot_ids] = np.arange(K)
+
+    dst = np.repeat(np.arange(N, dtype=np.int64), deg)
+    is_hot = hot_slot[indices] >= 0
+
+    cold_dst = dst[~is_hot]
+    cold_src = indices[~is_hot]
+    cold_indptr = np.searchsorted(cold_dst, np.arange(N + 1))
+
+    hkey = dst[is_hot] * K + hot_slot[indices[is_hot]]
+    uk, counts = np.unique(hkey, return_counts=True)
+    hot_dst = uk // K
+    hot_src = (uk % K).astype(np.int64)
+    hot_indptr = np.searchsorted(hot_dst, np.arange(N + 1))
+
+    cold = build_blocked_segmented(cold_indptr, cold_src,
+                                   num_segments=num_segments,
+                                   rows_per_block=rows_per_block,
+                                   chunk_edges=chunk_edges)
+    hot = build_blocked_segmented(hot_indptr, hot_src,
+                                  num_segments=num_segments,
+                                  rows_per_block=rows_per_block,
+                                  chunk_edges=chunk_edges,
+                                  edge_attr=counts.astype(np.float32))
+    return HotSplitSeg(cold=cold, hot=hot,
+                       hot_ids=jnp.asarray(hot_ids, jnp.int32),
+                       degree=jnp.asarray(deg, jnp.int32),
+                       num_rows=int(N))
 
 
 @struct.dataclass
@@ -327,7 +402,8 @@ def spmm_blocked(b: BlockedCsr, x: jax.Array, *, agg: str = "sum",
     oh = (b.edge_local_row[..., None]
           == jnp.arange(W, dtype=jnp.int32)[None, None, :])  # (T, C, W)
     if edge_weight is not None:
-        w = jnp.where(b.edge_valid, edge_weight, 0.0)
+        w = (jnp.where(b.edge_valid, edge_weight, 0.0)
+             if b.edge_valid is not None else edge_weight)
         ohw = oh.astype(compute_dtype) * w[..., None].astype(compute_dtype)
     else:
         ohw = oh.astype(compute_dtype)

@@ -104,7 +104,8 @@ def spmm_blocked_auto(b: BlockedCsr, x: jax.Array, *, agg: str = "sum",
 
 def spmm_blocked_segmented(seg, x: jax.Array, *, agg: str = "sum",
                            compute_dtype=jnp.bfloat16,
-                           out_dtype=jnp.float32) -> jax.Array:
+                           out_dtype=jnp.float32,
+                           interpret: bool = False) -> jax.Array:
     """Memory-bounded full-graph SpMM over a ``SegmentedBlockedCsr``.
 
     ``lax.scan`` over segments: each step gathers + contracts ONE segment
@@ -112,23 +113,41 @@ def spmm_blocked_segmented(seg, x: jax.Array, *, agg: str = "sum",
     ogbn-products scale with F=256 is the difference between ~0.5 GB and
     ~16 GB).  Segments are equal block ranges, so stacked partials reshape
     directly into the output; exact same semantics as ``spmm_blocked``.
+
+    When ``seg.edge_weight`` is present (0 on pad lanes) each edge's
+    contribution is scaled by it — the weighted Pallas kernel on TPU, the
+    XLA blocked path elsewhere.
     """
+    from .attention_blocked import spmm_blocked_weighted_pallas
+    from .spmm_blocked import spmm_blocked
+
     W = seg.rows_per_block
     Bp = seg.blocks_per_segment
     S = seg.num_segments
+    on_tpu = (jax.default_backend() == "tpu" and not interpret
+              and seg.chunk_edges % 128 == 0)
 
     def body(_, inp):
-        es, lr, cb, bs = inp
+        es, lr, cb, bs = inp[:4]
         b = BlockedCsr(
             edge_src=es, edge_local_row=lr, edge_valid=None,
             chunk_block=cb, block_start=bs, degree=None, edge_ptr=None,
             num_rows=Bp * W, rows_per_block=W, chunk_edges=seg.chunk_edges)
-        out = spmm_blocked_auto(b, x, agg="sum", compute_dtype=compute_dtype)
+        if seg.edge_weight is None:
+            out = spmm_blocked_auto(b, x, agg="sum",
+                                    compute_dtype=compute_dtype)
+        elif on_tpu:
+            out = spmm_blocked_weighted_pallas(b, x, inp[4],
+                                               compute_dtype=compute_dtype)
+        else:
+            out = spmm_blocked(b, x, agg="sum", edge_weight=inp[4],
+                               compute_dtype=compute_dtype)
         return None, out.astype(out_dtype)
 
-    _, outs = jax.lax.scan(
-        body, None,
-        (seg.edge_src, seg.edge_local_row, seg.chunk_block, seg.block_start))
+    xs = (seg.edge_src, seg.edge_local_row, seg.chunk_block, seg.block_start)
+    if seg.edge_weight is not None:
+        xs = xs + (seg.edge_weight,)
+    _, outs = jax.lax.scan(body, None, xs)
     out = outs.reshape(S * Bp * W, -1)[: seg.num_rows]
     if agg == "mean":
         out = out / jnp.maximum(seg.degree, 1)[:, None].astype(out.dtype)
@@ -162,6 +181,29 @@ def spmm_hot_split(hs, x: jax.Array, *, agg: str = "sum",
     hot = spmm_blocked_weighted_pallas(hs.hot, x_hot, hs.hot_count,
                                        compute_dtype=compute_dtype,
                                        interpret=interpret)
+    n = hs.num_rows
+    out = cold[:n] + hot[:n]
+    if agg == "mean":
+        out = out / jnp.maximum(hs.degree, 1)[:, None].astype(out.dtype)
+    elif agg != "sum":
+        raise ValueError(f"unsupported agg {agg!r}")
+    return out
+
+
+def spmm_hot_split_segmented(hs, x: jax.Array, *, agg: str = "sum",
+                             compute_dtype=jnp.bfloat16,
+                             out_dtype=jnp.float32,
+                             interpret: bool = False) -> jax.Array:
+    """Full-graph hot/cold split SpMM over a ``HotSplitSeg`` — the
+    products-scale variant of :func:`spmm_hot_split` (bounded gathered
+    intermediate via the segmented scan in both halves)."""
+    cold = spmm_blocked_segmented(hs.cold, x, agg="sum",
+                                  compute_dtype=compute_dtype,
+                                  out_dtype=out_dtype, interpret=interpret)
+    x_hot = x[hs.hot_ids]
+    hot = spmm_blocked_segmented(hs.hot, x_hot, agg="sum",
+                                 compute_dtype=compute_dtype,
+                                 out_dtype=out_dtype, interpret=interpret)
     n = hs.num_rows
     out = cold[:n] + hot[:n]
     if agg == "mean":

@@ -233,3 +233,58 @@ def test_spmm_hot_split_exact():
                                         compute_dtype=jnp.float32,
                                         interpret=True))
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_hot_split_segmented_exact():
+    """Segmented hot/cold split (products-scale variant) is exact, and the
+    segmented weighted path matches the explicit-weight blocked kernel."""
+    from tch_geometric_tpu.ops.spmm_blocked import (
+        build_blocked, build_blocked_hot_segmented, build_blocked_segmented,
+        spmm_blocked)
+    from tch_geometric_tpu.ops.spmm_pallas import (
+        spmm_blocked_segmented, spmm_hot_split_segmented)
+    rng = np.random.default_rng(1)
+    N, E, F = 1024, 20000, 64
+    pop = (1.0 / (np.arange(N) + 10.0)) ** 0.8
+    pop /= pop.sum()
+    src = rng.choice(N, size=E, p=pop)
+    dst = np.sort(rng.integers(0, N, E))
+    indptr = np.searchsorted(dst, np.arange(N + 1))
+    x = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    b = build_blocked(indptr, src.astype(np.int64), rows_per_block=128)
+    ref = np.asarray(spmm_blocked(b, x, agg="mean",
+                                  compute_dtype=jnp.float32))
+
+    w = rng.uniform(0.5, 2.0, E).astype(np.float32)
+    segw = build_blocked_segmented(indptr, src.astype(np.int64),
+                                   num_segments=4, rows_per_block=128,
+                                   edge_attr=w)
+    wb = np.where(np.asarray(b.edge_valid),
+                  w[np.clip(np.asarray(b.edge_ptr), 0, E - 1)], 0)
+    refw = np.asarray(spmm_blocked(b, x, agg="sum",
+                                   compute_dtype=jnp.float32,
+                                   edge_weight=jnp.asarray(wb)))
+    outw = np.asarray(spmm_blocked_segmented(
+        segw, x, compute_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(outw, refw, rtol=1e-4, atol=1e-4)
+
+    hseg = build_blocked_hot_segmented(indptr, src.astype(np.int64),
+                                       hot_k=128, num_segments=4,
+                                       rows_per_block=128)
+    out = np.asarray(spmm_hot_split_segmented(
+        hseg, x, agg="mean", compute_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sddmm_v2_matches_v1(graph):
+    """Lane-major SDDMM variant is bit-equal to the sublane-major one."""
+    from tch_geometric_tpu.ops.attention_blocked import (
+        sddmm_blocked_pallas_v2)
+    indptr, src, b, x_dst, x_src = graph
+    a = np.asarray(sddmm_blocked_pallas(
+        b, jnp.asarray(x_dst), jnp.asarray(x_src),
+        compute_dtype=jnp.float32, interpret=True))
+    v = np.asarray(sddmm_blocked_pallas_v2(
+        b, jnp.asarray(x_dst), jnp.asarray(x_src),
+        compute_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(v, a, rtol=1e-5, atol=1e-5)
