@@ -618,6 +618,150 @@ def gat_attend_blocked(b: BlockedCsr, h: jax.Array, alpha_src: jax.Array,
     return out.reshape(-1, H, D)
 
 
+def _gat_flash_kernel(chunk_block_ref, lr_lane_ref, g_ref, ad_ref,
+                      out_ref, m_ref, z_ref, *, heads: int,
+                      negative_slope: float):
+    """Multi-head GAT flash attend: ONE traversal, ONE gather.
+
+    ``g_ref`` block: (1, C, H*D + H) — the gathered per-edge source rows
+    with each head's ``alpha_src`` appended as trailing columns (one wide
+    gather serves features AND source logits).  ``ad_ref``: (W, H) block
+    tile of per-node ``alpha_dst`` (block-indexed, no gather).  Per head:
+    additive leaky-relu logits, flash (m, z) recurrence with a rescaled
+    output accumulator over the head's D-column slice.  Stats tiles are
+    (W, H); the final out / z runs outside.
+    """
+    t = pl.program_id(0)
+    blk = chunk_block_ref[t]
+    prev_blk = chunk_block_ref[jnp.maximum(t - 1, 0)]
+    first = jnp.logical_or(t == 0, blk != prev_blk)
+
+    H = heads
+    lr = lr_lane_ref[0]                                  # (1, C)
+    W = ad_ref.shape[0]
+    C = lr.shape[-1]
+    FH = g_ref.shape[-1]
+    D = (FH - H) // H
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+    ohT = iota_w == lr                                   # (W, C)
+
+    g = g_ref[0]                                         # (C, H*D + H)
+    m_old = m_ref[:]                                     # (W, H)
+    z_old = z_ref[:]
+    out_old = out_ref[:]                                 # (W, H*D)
+
+    ms, zs, parts = [], [], []
+    for hd in range(H):
+        asrc = g[:, H * D + hd].astype(jnp.float32)[None, :]     # (1, C)
+        # per-edge alpha_dst: mask the (W, 1) head column over lanes
+        ad = ad_ref[:, hd: hd + 1]                               # (W, 1)
+        ad_e = jnp.where(ohT, ad, 0.0).sum(axis=0, keepdims=True)  # (1, C)
+        s = asrc + ad_e
+        s = jnp.where(s > 0, s, negative_slope * s)              # leaky_relu
+        # flash stats for this head
+        m_c = jnp.where(ohT, s, NEG_INF).max(axis=1, keepdims=True)  # (W,1)
+        m_new = jnp.where(first, m_c, jnp.maximum(m_old[:, hd: hd + 1],
+                                                  m_c))
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        m_e = jnp.where(ohT, m_safe, NEG_INF).max(axis=0, keepdims=True)
+        e = jnp.where(jnp.isfinite(m_e), jnp.exp(s - m_e), 0.0)  # (1, C)
+        z_c = jnp.where(ohT, e, 0.0).sum(axis=1, keepdims=True)  # (W, 1)
+        ohw = jnp.where(ohT, e, 0.0).astype(g_ref.dtype)         # (W, C)
+        part = jnp.dot(ohw, g[:, hd * D: (hd + 1) * D],
+                       preferred_element_type=jnp.float32)       # (W, D)
+        ms.append((m_c, m_new, m_safe))
+        zs.append(z_c)
+        parts.append(part)
+
+    m_c_all = jnp.concatenate([a for a, _, _ in ms], axis=1)     # (W, H)
+    m_new_all = jnp.concatenate([b_ for _, b_, _ in ms], axis=1)
+    m_safe_all = jnp.concatenate([c for _, _, c in ms], axis=1)
+    z_c_all = jnp.concatenate(zs, axis=1)
+    part_all = jnp.concatenate(parts, axis=1)                    # (W, H*D)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = part_all
+        m_ref[:] = m_c_all
+        z_ref[:] = z_c_all
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        r_old = jnp.where(jnp.isfinite(m_old),
+                          jnp.exp(m_old - m_safe_all), 0.0)      # (W, H)
+        # expand r_old over each head's D columns via the constant one-hot
+        col_head = jax.lax.broadcasted_iota(jnp.int32, (H, H * D), 1) // D
+        head_row = jax.lax.broadcasted_iota(jnp.int32, (H, H * D), 0)
+        expand = (col_head == head_row).astype(jnp.float32)      # (H, H*D)
+        r_wide = jnp.dot(r_old, expand,
+                         preferred_element_type=jnp.float32)     # (W, H*D)
+        out_ref[:] = out_old * r_wide + part_all
+        m_ref[:] = m_new_all
+        z_ref[:] = z_old * r_old + z_c_all
+
+
+def gat_attend_blocked_flash(b: BlockedCsr, h: jax.Array,
+                             alpha_src: jax.Array, alpha_dst: jax.Array, *,
+                             negative_slope: float = 0.2,
+                             compute_dtype=jnp.bfloat16,
+                             interpret: bool = False,
+                             debug_stats: bool = False) -> jax.Array:
+    """Multi-head GAT aggregation: ONE kernel, ONE random gather.
+
+    Same semantics as :func:`gat_attend_blocked`.  ``h``: (N, H, D)
+    projected features; ``alpha_src``/``alpha_dst``: (N, H).  The H
+    per-head ``alpha_src`` columns ride the wide feature gather as
+    trailing columns (the measured cost of a random gather is per-ACCESS,
+    not per-byte — widening 256->264 B is free, a second (T, C) gather is
+    another ~12 ms); ``alpha_dst`` needs no gather at all (block-indexed
+    (W, H) tiles).  Returns (num_rows, H, D) float32.
+    """
+    N, H, D = h.shape
+    W = b.rows_per_block
+    T, C = b.edge_src.shape
+    B = b.num_blocks
+    assert C % 128 == 0 and W % 128 == 0
+
+    hw = jnp.concatenate(
+        [h.reshape(N, H * D).astype(compute_dtype),
+         alpha_src.astype(compute_dtype)], axis=-1)      # (N, H*D + H)
+    g = hw[b.edge_src]                                   # THE gather
+    ad = _pad_dst(b, alpha_dst.astype(jnp.float32))      # (B*W, H)
+    lr_lane = b.edge_local_row.reshape(T, 1, C)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, C), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, C, H * D + H), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((W, H), lambda t, cb: (cb[t], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((W, H * D), lambda t, cb: (cb[t], 0)),
+            pl.BlockSpec((W, H), lambda t, cb: (cb[t], 0)),
+            pl.BlockSpec((W, H), lambda t, cb: (cb[t], 0)),
+        ],
+    )
+    out, _m, z = pl.pallas_call(
+        functools.partial(_gat_flash_kernel, heads=H,
+                          negative_slope=negative_slope),
+        grid_spec=grid,
+        out_shape=[jax.ShapeDtypeStruct((B * W, H * D), jnp.float32),
+                   jax.ShapeDtypeStruct((B * W, H), jnp.float32),
+                   jax.ShapeDtypeStruct((B * W, H), jnp.float32)],
+        interpret=interpret,
+    )(b.chunk_block, lr_lane, g, ad)
+    # NB: 1e-38 is subnormal in f32 and flushes to zero under FTZ -> 0/0
+    # NaN on edge-less rows; guard with an explicit predicate instead.
+    zc = z[..., None]
+    att = jnp.where(zc > 0, out.reshape(B * W, H, D)
+                    / jnp.maximum(zc, 1e-20), 0.0)
+    if debug_stats:
+        return att[: b.num_rows], out, _m, z
+    return att[: b.num_rows]
+
+
 def attend_blocked(b: BlockedCsr, x_dst: jax.Array, x_src: jax.Array, *,
                    scale: float | None = None,
                    compute_dtype=jnp.bfloat16,
@@ -905,7 +1049,9 @@ def attend_blocked_flash(b: BlockedCsr, x_dst: jax.Array, x_src: jax.Array,
                    jax.ShapeDtypeStruct((B * W, 1), jnp.float32)],
         interpret=interpret,
     )(b.chunk_block, lr_lane, g, xd)
-    return (out / jnp.maximum(z, 1e-38))[: b.num_rows]
+    # 1e-38 flushes to zero under FTZ (subnormal f32): guard explicitly
+    return jnp.where(z > 0, out / jnp.maximum(z, 1e-20),
+                     0.0)[: b.num_rows]
 
 
 def attend_blocked_fused(b: BlockedCsr, x_dst: jax.Array, x_src: jax.Array,

@@ -288,3 +288,25 @@ def test_sddmm_v2_matches_v1(graph):
         b, jnp.asarray(x_dst), jnp.asarray(x_src),
         compute_dtype=jnp.float32, interpret=True))
     np.testing.assert_allclose(v, a, rtol=1e-5, atol=1e-5)
+
+
+def test_gat_flash_matches_composed():
+    """One-kernel one-gather multi-head GAT flash matches the composed
+    multihead-softmax + multiweighted pipeline."""
+    from tch_geometric_tpu.ops.attention_blocked import (
+        gat_attend_blocked, gat_attend_blocked_flash)
+    from tch_geometric_tpu.ops.spmm_blocked import build_blocked
+    rng = np.random.default_rng(2)
+    N, E, H, D = 512, 4096, 4, 32
+    dst = np.sort(rng.integers(0, N, E))
+    src = rng.integers(0, N, E)
+    indptr = np.searchsorted(dst, np.arange(N + 1))
+    b = build_blocked(indptr, src.astype(np.int32), rows_per_block=128)
+    h = jnp.asarray(rng.normal(size=(N, H, D)).astype(np.float32))
+    a_s = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    a_d = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    ref = np.asarray(gat_attend_blocked(
+        b, h, a_s, a_d, compute_dtype=jnp.float32, interpret=True))
+    out = np.asarray(gat_attend_blocked_flash(
+        b, h, a_s, a_d, compute_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
