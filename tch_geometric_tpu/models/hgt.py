@@ -25,6 +25,14 @@ class HGTConv(nn.Module):
     """One HGT layer over typed node dicts + typed edge lists.
 
     rel_specs: tuple of (rel_key, src_type, dst_type).
+
+    ``psum_axis``: when set (inside ``shard_map``), each device is assumed
+    to hold only the edges of ITS dst-slot block (disjoint across devices,
+    e.g. the per-device COO of ``parallel.dist_hgt.dist_hgt_sample``) while
+    node inputs are replicated; the aggregated messages are ``psum``-ed
+    over the axis so the returned hidden states are again replicated.
+    Per-dst softmax normalization needs no communication because a dst
+    slot's in-edges all live on its owning device.
     """
 
     features: int
@@ -32,6 +40,7 @@ class HGTConv(nn.Module):
     rel_specs: Sequence[Tuple[str, str, str]]
     heads: int = 2
     dtype: Optional[jnp.dtype] = None
+    psum_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -89,6 +98,10 @@ class HGTConv(nn.Module):
             msg = jnp.where(valid[:, None, None], msg, 0.0)
             out[dst] = out[dst] + segment_sum(msg, cols_c, x[dst].shape[0])
 
+        if self.psum_axis is not None:
+            out = {t: jax.lax.psum(v, self.psum_axis)
+                   for t, v in out.items()}
+
         res = {}
         for t in self.node_types:
             h = nn.gelu(a_lin[t](out[t].reshape(-1, F)))
@@ -100,7 +113,12 @@ class HGTConv(nn.Module):
 
 
 class HGT(nn.Module):
-    """Multi-layer HGT with per-type input projections + output head."""
+    """Multi-layer HGT with per-type input projections + output head.
+
+    ``psum_axis`` (see :class:`HGTConv`): set when the per-rel edge dicts
+    carry only the calling device's dst-slot block inside ``shard_map`` —
+    ``parallel.hgt_train.make_partitioned_hgt_trainer`` clones the model
+    with this set."""
 
     hidden: int
     out: int
@@ -110,6 +128,7 @@ class HGT(nn.Module):
     out_type: str                      # node type carrying the prediction
     heads: int = 2
     dtype: Optional[jnp.dtype] = None
+    psum_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Dict[str, jax.Array], edges) -> jax.Array:
@@ -118,5 +137,6 @@ class HGT(nn.Module):
         for i in range(self.num_layers):
             h = HGTConv(self.hidden, self.node_types, self.rel_specs,
                         heads=self.heads, dtype=self.dtype,
+                        psum_axis=self.psum_axis,
                         name=f"hgt{i}")(h, edges)
         return nn.Dense(self.out, dtype=self.dtype, name="head")(h[self.out_type])

@@ -1,7 +1,8 @@
 from .mesh import data_sharding, make_mesh, param_sharding_rule, replicated, shard_params
 from .train import (TrainState, make_gnn_trainer,
                     make_multibatch_sage_trainer, make_sage_trainer)
-from .hgt_train import HGTTrainState, make_hgt_trainer
+from .hgt_train import (HGTTrainState, make_hgt_trainer,
+                        make_partitioned_hgt_trainer)
 from .link_train import make_link_trainer
 from .resilience import barrier, inject_shard_fault, shard_checksums
 from .sharded_features import (build_interleaved_features, halo_gather,

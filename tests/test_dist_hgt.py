@@ -152,3 +152,73 @@ def test_hgt_timerange_gate(hetero):
     # (weak check: the pipeline runs and emits edges under the gate)
     total = sum(int(np.asarray(ev[rel_key(e)]).sum()) for e in edge_types)
     assert total > 0
+
+
+def test_partitioned_hgt_trainer_invariance():
+    """VERDICT r3 item 3: typed training with nothing replicated — the
+    distributed HGT sampler + per-type interleave-sharded feature tables +
+    relation-typed model (per-device edge blocks, per-layer psum) compose
+    into one jitted step whose loss trajectory is P-invariant and moves.
+    """
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tch_geometric_tpu.models.hgt import HGT
+    from tch_geometric_tpu.parallel.hgt_train import (
+        make_partitioned_hgt_trainer)
+    from tch_geometric_tpu.parallel.multihost import put_partitioned
+    from tch_geometric_tpu.parallel.sharded_features import (
+        build_interleaved_features)
+
+    rng_np = np.random.default_rng(0)
+    node_counts = {"a": 40, "b": 36}
+    edge_types = [("a", "r0", "a"), ("b", "r1", "a"), ("a", "r2", "b")]
+    col_ptrs, row_indices = {}, {}
+    for (s, rel, d) in edge_types:
+        r = rel_key((s, rel, d))
+        E = 160
+        src = rng_np.integers(0, node_counts[s], E)
+        dst = np.sort(rng_np.integers(0, node_counts[d], E))
+        cp = np.searchsorted(dst, np.arange(node_counts[d] + 1))
+        col_ptrs[r], row_indices[r] = cp.astype(np.int64), src.astype(
+            np.int64)
+    x_np = {t: rng_np.normal(size=(n, 12)).astype(np.float32)
+            for t, n in node_counts.items()}
+    labels = rng_np.integers(0, 4, 8).astype(np.int32)
+    seeds = np.arange(8, dtype=np.int32)
+    rel_specs = tuple(sorted((rel_key(e), e[0], e[2]) for e in edge_types))
+
+    key = jax.random.key(0)
+    results = {}
+    for Pn in (1, 2, 4):
+        mesh = _mesh(Pn)
+        rels = build_partitioned_hetero(col_ptrs, row_indices, edge_types,
+                                        Pn, node_counts=node_counts)
+        model = HGT(hidden=16, out=4, num_layers=2,
+                    node_types=tuple(sorted(node_counts)),
+                    rel_specs=rel_specs, out_type="a", heads=2)
+        init_fn, train_step, eval_step = make_partitioned_hgt_trainer(
+            model, edge_types, {t: [4, 4] for t in node_counts}, 2,
+            node_counts, mesh, seed_type="a", learning_rate=1e-2,
+            capacity_factor=8.0)
+        with mesh:
+            sh = NamedSharding(mesh, P("data"))
+            rels_put = {r: put_partitioned(rels[r], mesh, P("data"))
+                        for r in rels}
+            x_put = {t: jax.device_put(jnp.asarray(
+                build_interleaved_features(x_np[t], Pn)), sh)
+                for t in node_counts}
+            state = init_fn(key, rels_put, x_put, seeds)
+            losses = []
+            for _ in range(5):
+                state, loss, acc, ovf = train_step(
+                    state, key, rels_put, x_put, seeds, labels)
+                losses.append(float(loss))
+                assert int(np.asarray(ovf).sum()) == 0
+            eloss, eacc = eval_step(state, key, rels_put, x_put, seeds,
+                                    labels)
+        results[Pn] = (losses, float(eloss), float(eacc))
+    for Pn in (2, 4):
+        np.testing.assert_allclose(results[1][0], results[Pn][0], rtol=1e-5)
+        np.testing.assert_allclose(results[1][1], results[Pn][1], rtol=1e-5)
+    assert results[1][0][-1] < results[1][0][0]      # training moves
+    assert results[1][2] >= 0.5                      # memorizes 8 seeds
