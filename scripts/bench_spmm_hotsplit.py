@@ -34,6 +34,9 @@ def log(*a):
 
 
 def timed(fn, *args):
+    # the graph MUST be a jit ARGUMENT: closing over it embeds GB-scale
+    # constants in the HLO and the axon remote-compile service rejects the
+    # request with HTTP 413 (BASELINE.md)
     f = jax.jit(fn)
     t0 = time.time()
     float(f(*args))
@@ -47,9 +50,9 @@ def timed(fn, *args):
 
 
 def chain(fn):
-    def run(x):
+    def run(g, x):
         def body(c, _):
-            out = fn(x + c * 1e-30)
+            out = fn(g, x + c * 1e-30)
             return (c + out.sum()).astype(jnp.float32), None
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K_ITERS)
         return c
@@ -84,8 +87,8 @@ def main():
     log(f"plain segmented build: {time.time()-t0:.0f}s "
         f"(S={seg.num_segments} Tp={seg.edge_src.shape[1]} "
         f"C={seg.chunk_edges})")
-    dt, cs = timed(chain(lambda xx: spmm_blocked_segmented(seg, xx,
-                                                           agg="mean")), x)
+    dt, cs = timed(chain(lambda g, xx: spmm_blocked_segmented(
+        g, xx, agg="mean")), seg, x)
     log(f"plain segmented   : {dt*1e3:8.1f} ms/layer  {E/dt/1e6:7.0f} "
         f"Medge/s (compile {cs:.0f}s)")
     base = dt
@@ -101,8 +104,8 @@ def main():
             f"lanes {ce/1e6:.1f}M + hot lanes {he/1e6:.1f}M "
             f"(plain would be ~{E*1.03/1e6:.1f}M)")
         dt, cs = timed(chain(
-            lambda xx, hs=hs: spmm_hot_split_segmented(hs, xx, agg="mean")),
-            x)
+            lambda g, xx: spmm_hot_split_segmented(g, xx, agg="mean")),
+            hs, x)
         log(f"hot-split K={hot_k:6d}: {dt*1e3:8.1f} ms/layer  "
             f"{E/dt/1e6:7.0f} Medge/s  ({base/dt:.2f}x vs plain, "
             f"compile {cs:.0f}s)")
