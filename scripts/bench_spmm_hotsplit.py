@@ -94,19 +94,44 @@ def main():
     base = dt
     del seg
 
-    for hot_k in (16384, 65536):
+    # the honest floor for THIS shape: a pure gather of the plain layout's
+    # padded fetch multiset from the 627 MB bf16 table (chunked scan keeps
+    # the (M, F) intermediate bounded like the kernel does)
+    xb = x.astype(jnp.bfloat16)
+    seg2 = build_blocked_segmented(indptr, src, num_segments=S,
+                                   rows_per_block=256)
+
+    def g_floor(g, xb):
+        def body(c, es):
+            shift = jnp.int32(jnp.abs(c)) % N
+            return (c + xb[(es.reshape(-1) + shift) % N].sum()
+                    .astype(jnp.float32)), None
+        c, _ = jax.lax.scan(body, jnp.float32(0), g.edge_src)
+        return c
+
+    dtf, cs = timed(lambda g, xb: g_floor(g, xb), seg2, xb)
+    n_acc = int(np.prod(seg2.edge_src.shape))
+    log(f"pure-gather floor : {dtf*K_ITERS*1e3:8.1f} ms/pass "
+        f"({n_acc/(dtf*K_ITERS)/1e6:.0f} Macc/s) -> plain kernel at "
+        f"{dtf*K_ITERS/base*100:.0f}% of it")
+    del seg2
+
+    # W > 512 OOMs the 16 MB scoped VMEM in the weighted kernel (the
+    # (W, C) one-hot tile); W=256 is the sweet spot
+    for hot_k, wcold in ((65536, 256), (262144, 256)):
         t0 = time.time()
         hs = build_blocked_hot_segmented(indptr, src, hot_k=hot_k,
-                                         num_segments=S, rows_per_block=256)
+                                         num_segments=S,
+                                         rows_per_block=wcold)
         ce = int(np.asarray(hs.cold.edge_src.shape).prod())
         he = int(np.asarray(hs.hot.edge_src.shape).prod())
-        log(f"hot-split build (K={hot_k}): {time.time()-t0:.0f}s — cold "
-            f"lanes {ce/1e6:.1f}M + hot lanes {he/1e6:.1f}M "
+        log(f"hot-split build (K={hot_k} W={wcold}): {time.time()-t0:.0f}s "
+            f"— cold lanes {ce/1e6:.1f}M + hot lanes {he/1e6:.1f}M "
             f"(plain would be ~{E*1.03/1e6:.1f}M)")
         dt, cs = timed(chain(
             lambda g, xx: spmm_hot_split_segmented(g, xx, agg="mean")),
             hs, x)
-        log(f"hot-split K={hot_k:6d}: {dt*1e3:8.1f} ms/layer  "
+        log(f"hot-split K={hot_k:6d} W={wcold:4d}: {dt*1e3:8.1f} ms/layer  "
             f"{E/dt/1e6:7.0f} Medge/s  ({base/dt:.2f}x vs plain, "
             f"compile {cs:.0f}s)")
         del hs
