@@ -119,12 +119,27 @@ class GraphSAGE(nn.Module):
         The production inference path: the scatter-free MXU SpMM kernel per
         layer; pass a ``SegmentedBlockedCsr`` for graphs where the (E, F)
         gathered intermediate would not fit HBM (e.g. ogbn-products,
-        F=256 -> ~16 GB unsegmented)."""
-        from ..ops.spmm_blocked import SegmentedBlockedCsr
-        from ..ops.spmm_pallas import spmm_blocked_auto, spmm_blocked_segmented
+        F=256 -> ~16 GB unsegmented), or a ``HotSplitCsr``/``HotSplitSeg``
+        (``build_blocked_hot{,_segmented}``) on power-law graphs — the
+        hub-deduped compact-table split runs ~1.25x above the plain
+        kernel's per-access wall at products scale (BASELINE.md)."""
+        from ..ops.spmm_blocked import (HotSplitCsr, HotSplitSeg,
+                                        SegmentedBlockedCsr)
+        from ..ops.spmm_pallas import (spmm_blocked_auto,
+                                       spmm_blocked_segmented,
+                                       spmm_hot_split,
+                                       spmm_hot_split_segmented)
         h = x
         for i, conv in enumerate(self.convs):
-            if isinstance(blocked, SegmentedBlockedCsr):
+            if isinstance(blocked, HotSplitSeg):
+                agg = spmm_hot_split_segmented(
+                    blocked, h, agg="mean", compute_dtype=compute_dtype,
+                    out_dtype=h.dtype)
+            elif isinstance(blocked, HotSplitCsr):
+                agg = spmm_hot_split(
+                    blocked, h, agg="mean",
+                    compute_dtype=compute_dtype).astype(h.dtype)
+            elif isinstance(blocked, SegmentedBlockedCsr):
                 agg = spmm_blocked_segmented(blocked, h, agg="mean",
                                              compute_dtype=compute_dtype,
                                              out_dtype=h.dtype)

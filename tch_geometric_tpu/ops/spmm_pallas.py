@@ -171,16 +171,22 @@ def spmm_hot_split(hs, x: jax.Array, *, agg: str = "sum",
     from .attention_blocked import spmm_blocked_weighted_pallas
     from .spmm_blocked import spmm_blocked
 
-    if jax.default_backend() == "tpu" and not interpret:
+    on_tpu = jax.default_backend() == "tpu" and not interpret
+    if on_tpu:
         cold = spmm_blocked_pallas(hs.cold, x, agg="sum",
                                    compute_dtype=compute_dtype)
     else:
         cold = spmm_blocked(hs.cold, x, agg="sum",
                             compute_dtype=compute_dtype)
     x_hot = x[hs.hot_ids]                        # (K, F): small fast table
-    hot = spmm_blocked_weighted_pallas(hs.hot, x_hot, hs.hot_count,
-                                       compute_dtype=compute_dtype,
-                                       interpret=interpret)
+    if on_tpu or interpret:
+        hot = spmm_blocked_weighted_pallas(hs.hot, x_hot, hs.hot_count,
+                                           compute_dtype=compute_dtype,
+                                           interpret=interpret)
+    else:
+        hot = spmm_blocked(hs.hot, x_hot, agg="sum",
+                           edge_weight=hs.hot_count,
+                           compute_dtype=compute_dtype)
     n = hs.num_rows
     out = cold[:n] + hot[:n]
     if agg == "mean":

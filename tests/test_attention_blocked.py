@@ -310,3 +310,38 @@ def test_gat_flash_matches_composed():
     out = np.asarray(gat_attend_blocked_flash(
         b, h, a_s, a_d, compute_dtype=jnp.float32, interpret=True))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_blocked_forward_hot_split_layouts():
+    """GraphSAGE.blocked_forward accepts HotSplitCsr / HotSplitSeg and
+    matches the plain blocked layout bit-for-bit (same float ops, only
+    the fetch pattern differs... up to summation order)."""
+    import jax
+    from tch_geometric_tpu.models import GraphSAGE
+    from tch_geometric_tpu.ops.spmm_blocked import (
+        build_blocked, build_blocked_hot, build_blocked_hot_segmented)
+    rng = np.random.default_rng(3)
+    N, E, F = 1024, 20000, 32
+    pop = (1.0 / (np.arange(N) + 10.0)) ** 0.8
+    pop /= pop.sum()
+    src = rng.choice(N, size=E, p=pop)
+    dst = np.sort(rng.integers(0, N, E))
+    indptr = np.searchsorted(dst, np.arange(N + 1))
+    x = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    b = build_blocked(indptr, src.astype(np.int64), rows_per_block=128)
+    model = GraphSAGE(hidden=16, out=4, num_layers=2)
+    params = model.init(jax.random.key(0), x, b,
+                        method=GraphSAGE.blocked_forward,
+                        compute_dtype=jnp.float32)
+    ref = np.asarray(model.apply(params, x, b,
+                                 method=GraphSAGE.blocked_forward,
+                                 compute_dtype=jnp.float32))
+    for hs in (build_blocked_hot(indptr, src.astype(np.int64), hot_k=128,
+                                 rows_per_block=128),
+               build_blocked_hot_segmented(indptr, src.astype(np.int64),
+                                           hot_k=128, num_segments=4,
+                                           rows_per_block=128)):
+        out = np.asarray(model.apply(params, x, hs,
+                                     method=GraphSAGE.blocked_forward,
+                                     compute_dtype=jnp.float32))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
