@@ -129,7 +129,11 @@ class GATConv(nn.Module):
         alpha_src = (h * a_src[None]).sum(-1)           # (N, H)
         alpha_dst = (h * a_dst[None]).sum(-1)
         if blocked is not None:
-            from ..ops.attention_blocked import gat_attend_blocked
+            # one-kernel one-gather flash variant (alpha_src rides the
+            # feature gather; alpha_dst is block-indexed) — see
+            # ops/attention_blocked.gat_attend_blocked_flash
+            from ..ops.attention_blocked import gat_attend_blocked_flash \
+                as gat_attend_blocked
             out = gat_attend_blocked(
                 blocked, h, alpha_src, alpha_dst,
                 compute_dtype=jnp.float32 if self.dtype is None else self.dtype,
