@@ -59,9 +59,10 @@ cfgs = os.environ.get("PART_CONFIGS", "1.3:1,0.8:2,0.6:2")
 for cfg in cfgs.split(","):
     cf, rounds = cfg.split(":")
     cf, rounds = float(cf), int(rounds)
+    xdt = jnp.bfloat16 if os.environ.get("PART_BF16") else None
     init_fn, train_step, _ = make_partitioned_trainer(
         model, [15, 10, 5], mesh, learning_rate=1e-3, capacity_factor=cf,
-        num_rounds=rounds)
+        num_rounds=rounds, exchange_dtype=xdt)
 
     with mesh:
         sh = NamedSharding(mesh, P("data"))

@@ -203,7 +203,12 @@ def _route_to_owners(owner, valid, num_parts: int, capacity: int):
     L = owner.shape[0]
     sort_key = jnp.where(valid, owner, num_parts).astype(jnp.int32)
     order = jnp.argsort(sort_key, stable=True)
-    inv = jnp.argsort(order)                 # inverse permutation, no scatter
+    # inverse permutation: a unique-indices scatter is NOT the serial
+    # colliding-scatter path (indices are a permutation by construction)
+    # and replaces the second full sort — TPU sorts are the dominant cost
+    # of routing at products scale
+    inv = jnp.zeros((L,), jnp.int32).at[order].set(
+        jnp.arange(L, dtype=jnp.int32), unique_indices=True)
     sk = sort_key[order]
     bounds = jnp.searchsorted(
         sk, jnp.arange(num_parts + 1, dtype=sk.dtype)).astype(jnp.int32)
@@ -698,6 +703,7 @@ def make_partitioned_trainer(
     window: int = 256,
     capacity_factor: float = 1.3,
     num_rounds: int = 1,
+    exchange_dtype=None,
 ):
     """Sampled-training closures where NOTHING graph-sized is replicated:
     adjacency shards via :class:`PartitionedGraph`, features interleave-shard
@@ -718,6 +724,11 @@ def make_partitioned_trainer(
     ``seed_ts`` array (sharded like seeds) carrying each seed's root
     timestamp for the RELATIVE/DYNAMIC state chain; omitted it defaults
     to zeros.
+
+    ``exchange_dtype`` (e.g. ``jnp.bfloat16``): cast the feature shard to
+    this dtype before the routed halo exchange — halves the float traffic
+    the routing permutes/all_to_alls when features are f32 and training
+    computes in bf16 anyway.  Default None keeps the table dtype.
     """
     tree_forward = type(model).tree_forward
     fanouts = tuple(int(k) for k in fanouts)
@@ -752,6 +763,8 @@ def make_partitioned_trainer(
         ids = jnp.clip(sample.nodes, 0, n_rows - 1)
         capacity = int(np.ceil(capacity_factor * ids.shape[0] / num_parts))
         capacity = min(capacity, ids.shape[0])
+        if exchange_dtype is not None:
+            x_shard = x_shard.astype(exchange_dtype)
         x, f_ovf = halo_gather(x_shard, ids, axis=axis,
                                num_parts=num_parts, capacity=capacity,
                                valid=sample.node_valid,

@@ -405,3 +405,39 @@ def test_temporal_weighted_partitioned_trainer_invariance():
         np.testing.assert_allclose(results[1][0], results[Pn][0], rtol=1e-5)
         np.testing.assert_allclose(results[1][1], results[Pn][1], rtol=1e-5)
     assert results[1][0][-1] < results[1][0][0]
+
+
+def test_partitioned_trainer_bf16_exchange_invariance():
+    """exchange_dtype=bf16 (halved halo traffic) keeps loss trajectories
+    P-invariant and training moving."""
+    x_np, y, edge_index = load_karate_graph()
+    col_ptrs, row_indices, _perm = to_csc(np.asarray(edge_index), 34)
+    seeds = np.arange(8, dtype=np.int32)
+    labels = np.asarray(y)[:8]
+    key = jax.random.key(0)
+    results = {}
+    for Pn in (1, 4):
+        mesh = _mesh(Pn)
+        g = build_partitioned_graph(np.asarray(col_ptrs),
+                                    np.asarray(row_indices), Pn)
+        xi = jnp.asarray(build_interleaved_features(np.asarray(x_np), Pn))
+        model = GraphSAGE(hidden=16, out=int(y.max()) + 1, num_layers=2)
+        init_fn, train_step, _ = make_partitioned_trainer(
+            model, [3, 2], mesh, learning_rate=1e-2, capacity_factor=8.0,
+            exchange_dtype=jnp.bfloat16)
+        with mesh:
+            sh = NamedSharding(mesh, P("data"))
+            gput = jax.device_put(g, sh)
+            xput = jax.device_put(xi, sh)
+            sput = jax.device_put(jnp.asarray(seeds), sh)
+            lput = jax.device_put(jnp.asarray(labels), sh)
+            state = init_fn(key, gput, xput, sput)
+            losses = []
+            for _ in range(4):
+                state, loss, _acc, ovf = train_step(state, key, gput, xput,
+                                                    sput, lput)
+                losses.append(float(loss))
+                assert int(np.asarray(ovf).sum()) == 0
+        results[Pn] = losses
+    np.testing.assert_allclose(results[1], results[4], rtol=1e-5)
+    assert results[1][-1] < results[1][0]
