@@ -129,11 +129,13 @@ class GATConv(nn.Module):
         alpha_src = (h * a_src[None]).sum(-1)           # (N, H)
         alpha_dst = (h * a_dst[None]).sum(-1)
         if blocked is not None:
-            # one-kernel one-gather flash variant (alpha_src rides the
-            # feature gather; alpha_dst is block-indexed) — see
-            # ops/attention_blocked.gat_attend_blocked_flash
-            from ..ops.attention_blocked import gat_attend_blocked_flash \
-                as gat_attend_blocked
+            # NEGATIVE RESULT (measured, v5e): the one-kernel flash GAT
+            # (gat_attend_blocked_flash) is 2.6x SLOWER (71 vs 27 ms at
+            # E=4.2M, H=4, d=32) — its per-head loop runs 4 skinny
+            # (W,C)@(C,32) MXU matmuls + 4x the masked stat passes,
+            # losing more than the saved alpha gathers.  The composed
+            # multihead path stays.
+            from ..ops.attention_blocked import gat_attend_blocked
             out = gat_attend_blocked(
                 blocked, h, alpha_src, alpha_dst,
                 compute_dtype=jnp.float32 if self.dtype is None else self.dtype,
