@@ -40,7 +40,8 @@ def log(*a):
 
 
 def train_hgt(xs, edge_index, y, split, hidden=64, layers=2, steps=1500,
-              batch=512, lr=3e-3, seed=0, samples_per_type=(16, 12)):
+              batch=512, lr=3e-3, seed=0, samples_per_type=(16, 12),
+              heads=2):
     from tch_geometric_tpu.data import to_csc
     from tch_geometric_tpu.data.graph import make_graph
     from tch_geometric_tpu.models import HGT
@@ -63,7 +64,7 @@ def train_hgt(xs, edge_index, y, split, hidden=64, layers=2, steps=1500,
     rel_specs = tuple(sorted((rel_key(e), e[0], e[2]) for e in edge_types))
     model = HGT(hidden=hidden, out=c, num_layers=layers,
                 node_types=tuple(node_types), rel_specs=rel_specs,
-                out_type="v0")
+                out_type="v0", heads=heads)
     num_samples = {t: list(samples_per_type) for t in node_types}
     init_fn, train_step = make_hgt_trainer(
         model, graphs, edge_types, num_samples, layers, node_counts,
@@ -218,6 +219,10 @@ def main():
     ap.add_argument("--anti-paired", action="store_true",
                     help="opposite-mix relation pairs: untyped aggregation "
                          "cancels the signal, typed models recover it")
+    ap.add_argument("--hgt-hidden", type=int, default=64)
+    ap.add_argument("--hgt-heads", type=int, default=2)
+    ap.add_argument("--hgt-lr", type=float, default=3e-3)
+    ap.add_argument("--hgt-only", action="store_true")
     args = ap.parse_args()
 
     from tch_geometric_tpu.data.ogb import planted_hetero
@@ -228,7 +233,14 @@ def main():
         f"{len(edge_index)} rels x {args.edges} edges, "
         f"C={int(np.asarray(y).max())+1}")
 
-    acc_hgt = train_hgt(xs, edge_index, y, split, steps=args.steps)
+    acc_hgt = train_hgt(xs, edge_index, y, split, steps=args.steps,
+                        hidden=args.hgt_hidden, heads=args.hgt_heads,
+                        lr=args.hgt_lr)
+    if args.hgt_only:
+        print(json.dumps({"acc_hgt_sampled": round(acc_hgt, 4),
+                          "hidden": args.hgt_hidden,
+                          "heads": args.hgt_heads, "lr": args.hgt_lr}))
+        return
     acc_untyped = train_untyped_sage(xs, edge_index, y, split,
                                      steps=args.steps)
     acc_mlp = train_mlp(xs, y, split)
