@@ -521,13 +521,21 @@ def dist_biased_tempo_random_walk(key, graph: PartitionedGraph, start,
                                   mesh: Mesh, *, forward: bool = True,
                                   retry_count: int = 10, axis: str = "data",
                                   capacity_factor: float = 1.3,
-                                  num_rounds: int = 1, window: int = 256):
+                                  num_rounds: int = 2, window: int = 256):
     """Distributed CTDNE walk (random_walk.rs:185-288 semantics).
 
     BASELINE config 5's walk over the edge-partitioned graph.  ``graph``
     must be built with effective edge timestamps.  Returns
     ``(walks, walk_ts, overflow)``; the linear bias needs the ELL table
-    (rank computation is whole-row)."""
+    (rank computation is whole-row).
+
+    ``num_rounds`` defaults to 2: the current XLA:TPU compiler emits a
+    ~70x-slow executable for the ``num_rounds=1`` CTDNE program at scale
+    (BASELINE.md round-3 note), while the strictly-heavier 2-round program
+    compiles sanely — and 2 rounds is also the safer capacity config for
+    power-law frontiers.  Outputs are invariant to ``num_rounds`` for every
+    request that wins a slot (draws are keyed by request uid, not round;
+    see ``exchange_rounds``), so the default change is law-preserving."""
     assert walk_bias in (WALK_BIAS_UNIFORM, WALK_BIAS_LINEAR,
                          WALK_BIAS_EXPONENTIAL)
     if walk_bias == WALK_BIAS_LINEAR:

@@ -154,11 +154,14 @@ def test_hgt_timerange_gate(hetero):
     assert total > 0
 
 
-def test_partitioned_hgt_trainer_invariance():
-    """VERDICT r3 item 3: typed training with nothing replicated — the
+def _hgt_trainer_invariance(mesh_sizes, hidden, heads, num_steps,
+                            min_eval_acc=None):
+    """Shared body: typed training with nothing replicated — the
     distributed HGT sampler + per-type interleave-sharded feature tables +
     relation-typed model (per-device edge blocks, per-layer psum) compose
     into one jitted step whose loss trajectory is P-invariant and moves.
+    (VERDICT r3 item 3; shrunk per VERDICT r3 weak-item 5 — invariance does
+    not need a wide model at three mesh sizes compiled serially.)
     """
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -189,13 +192,13 @@ def test_partitioned_hgt_trainer_invariance():
 
     key = jax.random.key(0)
     results = {}
-    for Pn in (1, 2, 4):
+    for Pn in mesh_sizes:
         mesh = _mesh(Pn)
         rels = build_partitioned_hetero(col_ptrs, row_indices, edge_types,
                                         Pn, node_counts=node_counts)
-        model = HGT(hidden=16, out=4, num_layers=2,
+        model = HGT(hidden=hidden, out=4, num_layers=2,
                     node_types=tuple(sorted(node_counts)),
-                    rel_specs=rel_specs, out_type="a", heads=2)
+                    rel_specs=rel_specs, out_type="a", heads=heads)
         init_fn, train_step, eval_step = make_partitioned_hgt_trainer(
             model, edge_types, {t: [4, 4] for t in node_counts}, 2,
             node_counts, mesh, seed_type="a", learning_rate=1e-2,
@@ -209,7 +212,7 @@ def test_partitioned_hgt_trainer_invariance():
                 for t in node_counts}
             state = init_fn(key, rels_put, x_put, seeds)
             losses = []
-            for _ in range(5):
+            for _ in range(num_steps):
                 state, loss, acc, ovf = train_step(
                     state, key, rels_put, x_put, seeds, labels)
                 losses.append(float(loss))
@@ -217,8 +220,24 @@ def test_partitioned_hgt_trainer_invariance():
             eloss, eacc = eval_step(state, key, rels_put, x_put, seeds,
                                     labels)
         results[Pn] = (losses, float(eloss), float(eacc))
-    for Pn in (2, 4):
-        np.testing.assert_allclose(results[1][0], results[Pn][0], rtol=1e-5)
-        np.testing.assert_allclose(results[1][1], results[Pn][1], rtol=1e-5)
-    assert results[1][0][-1] < results[1][0][0]      # training moves
-    assert results[1][2] >= 0.5                      # memorizes 8 seeds
+    base = mesh_sizes[0]
+    for Pn in mesh_sizes[1:]:
+        np.testing.assert_allclose(results[base][0], results[Pn][0],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(results[base][1], results[Pn][1],
+                                   rtol=1e-5)
+    assert results[base][0][-1] < results[base][0][0]   # training moves
+    if min_eval_acc is not None:
+        assert results[base][2] >= min_eval_acc          # memorizes 8 seeds
+
+
+def test_partitioned_hgt_trainer_invariance():
+    """Fast tier: P=1 vs P=2 at minimal width pins the invariance law."""
+    _hgt_trainer_invariance((1, 2), hidden=8, heads=1, num_steps=3)
+
+
+@pytest.mark.slow
+def test_partitioned_hgt_trainer_invariance_full():
+    """Slow tier: the original three-mesh wide-model configuration."""
+    _hgt_trainer_invariance((1, 2, 4), hidden=16, heads=2, num_steps=5,
+                            min_eval_acc=0.5)

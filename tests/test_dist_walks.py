@@ -129,6 +129,37 @@ def test_ctdne_invariance_and_monotone_time(karate_csr, bias):
                     cur = t[i, l + 1]
 
 
+def test_ctdne_default_rounds_law_equivalence(karate_csr):
+    """The default ``num_rounds=2`` (compile-pathology workaround,
+    BASELINE.md round-3 note) is law-preserving: outputs are bit-identical
+    to ``num_rounds=1`` because draws are keyed by request uid, not by the
+    round that carried the request."""
+    import inspect
+    from tch_geometric_tpu.parallel.dist_walks import (
+        dist_biased_tempo_random_walk as f)
+    assert inspect.signature(f).parameters["num_rounds"].default == 2
+
+    indptr, indices = karate_csr
+    E = indices.shape[0]
+    rng = np.random.default_rng(3)
+    edge_ts = rng.integers(0, 1000, E).astype(np.int64)
+    node_ts = rng.integers(0, 1000, 34).astype(np.int64)
+    ts_eff = effective_edge_ts(indices, edge_ts, node_ts)
+    start = np.arange(8, dtype=np.int32)
+    start_ts = np.zeros(8, dtype=np.int32)
+    key = jax.random.key(11)
+    g = build_partitioned_graph(indptr, indices, 2, edge_timestamps=ts_eff)
+    outs = {}
+    for nr in (1, 2):
+        walks, ts, ovf = dist_biased_tempo_random_walk(
+            key, g, start, start_ts, 6, "exponential", _mesh(2),
+            retry_count=3, capacity_factor=8.0, num_rounds=nr)
+        assert int(np.asarray(ovf).sum()) == 0
+        outs[nr] = (np.asarray(walks), np.asarray(ts))
+    np.testing.assert_array_equal(outs[1][0], outs[2][0])
+    np.testing.assert_array_equal(outs[1][1], outs[2][1])
+
+
 def test_node2vec_p_q_bias_direction(karate_csr):
     """Return-heavy (p small) walks revisit the previous node far more often
     than exploration-heavy (q small) walks — the rejection rule works
