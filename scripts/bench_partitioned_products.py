@@ -28,17 +28,32 @@ from tch_geometric_tpu.parallel.dist_sampling import (
 from tch_geometric_tpu.parallel.sharded_features import (
     build_interleaved_features)
 
+CACHE = "/tmp/products_csc_cache.npz"
 t0 = time.time()
-data = synthetic_ogbn("ogbn-products")
-print(f"synthetic products: N={data.num_nodes} E={data.num_edges} "
-      f"built {time.time()-t0:.0f}s", flush=True)
+if os.path.exists(CACHE):
+    d = np.load(CACHE)
+    indptr, indices, x_np, y_np = (d["indptr"], d["indices"], d["x"],
+                                   d["y"])
 
-t0 = time.time()
-graph = data.csc()   # native CSC build (also warms the fixture cache)
-indptr = np.asarray(graph.indptr)
-indices = np.asarray(graph.indices)
-print(f"CSC build: {time.time()-t0:.0f}s max_degree={graph.max_degree}",
-      flush=True)
+    class _D:  # minimal stand-in for the Data fields used below
+        num_nodes = indptr.shape[0] - 1
+        num_edges = indices.shape[0]
+        x, y = x_np, y_np
+    data = _D()
+    print(f"products CSC from cache: N={data.num_nodes} E={data.num_edges} "
+          f"loaded {time.time()-t0:.0f}s", flush=True)
+else:
+    data = synthetic_ogbn("ogbn-products")
+    print(f"synthetic products: N={data.num_nodes} E={data.num_edges} "
+          f"built {time.time()-t0:.0f}s", flush=True)
+    t0 = time.time()
+    graph = data.csc()   # native CSC build (also warms the fixture cache)
+    indptr = np.asarray(graph.indptr)
+    indices = np.asarray(graph.indices)
+    print(f"CSC build: {time.time()-t0:.0f}s max_degree={graph.max_degree}",
+          flush=True)
+    np.savez(CACHE, indptr=indptr, indices=indices, x=np.asarray(data.x),
+             y=np.asarray(data.y))
 
 n_dev = 1
 t0 = time.time()
@@ -112,6 +127,8 @@ for cfg in cfgs.split(","):
 # overflow RATE reported at the default capacity factor (VERDICT item 6:
 # overflow must be a measured, bounded quantity at realistic skew).
 # --------------------------------------------------------------------------
+if os.environ.get("PART_SKIP_TAIL"):
+    sys.exit(0)
 from tch_geometric_tpu.parallel.dist_budget import dist_budget_sample
 from tch_geometric_tpu.parallel.dist_walks import (
     dist_biased_tempo_random_walk, effective_edge_ts)

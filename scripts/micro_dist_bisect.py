@@ -105,8 +105,8 @@ with mesh:
     def route(ids):
         owner = ids % 1
         valid = jnp.ones_like(ids, dtype=bool)
-        rank, ok, scatter = ds._route_to_owners(owner, valid, 1, L)
-        return scatter(ids), rank, ok
+        router = ds._route_to_owners(owner, valid, 1, L)
+        return router.scatter(ids), router.rank, router.ok
 
     t = timeit(route, rows)
     print(f"routing (L={L}): {t*1e3:8.2f} ms", flush=True)

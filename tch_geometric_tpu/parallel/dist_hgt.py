@@ -119,12 +119,13 @@ def _scatter_route(payload, owner, valid, apply_fn, state, *, axis,
     """One-way routed scatter: requests go to owners, ``apply_fn(state,
     recv (P, C, Q), in_round_mask (P, C)) -> state`` folds them in.  No
     response path.  Returns (state, overflow)."""
-    rank, _ok, scatter = _route_to_owners(owner, valid, num_parts, capacity)
+    router = _route_to_owners(owner, valid, num_parts, capacity)
+    rounds = (num_rounds if router.max_rounds is None
+              else min(num_rounds, router.max_rounds))
     carried = jnp.zeros_like(valid)
-    for rnd in range(num_rounds):
-        in_round = ((rank >= rnd * capacity) & (rank < (rnd + 1) * capacity)
-                    & valid)
-        req = scatter(jnp.concatenate(
+    for rnd in range(rounds):
+        in_round = router.in_round(rnd)
+        req = router.scatter(jnp.concatenate(
             [payload, in_round.astype(jnp.int32)[:, None]], axis=-1), rnd)
         recv = jax.lax.all_to_all(req, axis, 0, 0)
         state = apply_fn(state, recv[..., :-1], recv[..., -1] != 0)

@@ -30,7 +30,7 @@ invalid subtrees and are counted in the returned diagnostics, mirroring
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -185,55 +185,131 @@ def build_partitioned_graph(indptr, indices, num_parts: int, *,
 # Request routing (shared shape with sharded_features.halo_gather)
 # ---------------------------------------------------------------------------
 
-def _route_to_owners(owner, valid, num_parts: int, capacity: int):
+class _Router(NamedTuple):
+    """Routing plan for one owner-routed exchange (see _route_to_owners)."""
+
+    rank: jax.Array        # (L,) int32 position within the owner bucket
+    #                        (counting only VALID requests; L for invalid)
+    ok: jax.Array          # (L,) bool: wins a round-0 slot
+    scatter: "object"      # (payload (L,)|(L,Q), rnd) -> (P, C[, Q])
+    pickup: "object"       # (back (P, C, ...), rnd) -> (L, ...) aligned to
+    #                        requests (garbage outside in_round(rnd))
+    in_round: "object"     # rnd -> (L,) bool: request carried in round rnd
+    max_rounds: "object"   # int bound on useful rounds, or None
+
+
+_SCAN_CHUNK = 512
+
+
+def _owner_ranks(ow, valid, num_parts: int):
+    """Per-owner rank of every valid request (its count of earlier valid
+    same-owner requests) — the counting replacement for the argsort routing
+    plan (VERDICT r3 item 1).
+
+    The scan rides the MXU: chunk the (L, P) valid-owner one-hot into
+    (G, c, P), do the in-chunk inclusive prefix sum as a lower-triangular
+    (c, c) matmul, carry chunk totals with one tiny G-length cumsum.  f32
+    counts are exact (within-chunk <= c, bases <= L << 2^24).  Measured
+    (scripts/micro_scan_variants.py, v5e, L=469k): 1.2 ms vs 5.5-6.3 ms for
+    the stable argsort + inverse-scatter plan; jnp.cumsum over the full L
+    axis is NOT an alternative (16 ms at L=469k — pathological lowering),
+    nor is take_along_axis for the rank pick (7.9 ms; the one-hot
+    multiply-reduce below streams on the VPU instead).
+    """
+    L = ow.shape[0]
+    onehot = ((ow[:, None] == jnp.arange(num_parts, dtype=jnp.int32)[None, :])
+              & valid[:, None])                          # (L, P)
+    c = _SCAN_CHUNK
+    G = -(-L // c)
+    ohf = jnp.pad(onehot.astype(jnp.float32), ((0, G * c - L), (0, 0)))
+    chunks = ohf.reshape(G, c, num_parts)
+    tril = jnp.tril(jnp.ones((c, c), jnp.float32))
+    within = jax.lax.dot_general(tril, chunks, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    within = jnp.transpose(within, (1, 0, 2))            # (G, c, P) inclusive
+    totals = within[:, -1, :]
+    base = jnp.cumsum(totals, axis=0) - totals           # (G, P) exclusive
+    csum = (within + base[:, None, :]).reshape(G * c, num_parts)[:L]
+    rank = (csum * onehot.astype(jnp.float32)).sum(-1) - 1.0
+    return rank.astype(jnp.int32)                        # -1 for invalid
+
+
+def _route_to_owners(owner, valid, num_parts: int, capacity: int) -> _Router:
     """Routing plan: per-request owner/rank with capacity-overflow mask.
 
-    Invalid requests never consume capacity (sorted past every valid one);
-    returns ``(rank, ok, scatter)`` where ``scatter(payload (L,)) -> (P, C)``
-    places payloads in their routed slots and ``ok`` marks requests that won
-    a slot.  Mirrors halo_gather's scheme so diagnostics mean the same thing.
+    Invalid requests never consume capacity; ``scatter`` packs payloads
+    into their (P, C) owner slots, ``pickup`` restores a response buffer to
+    request order.  Rank semantics (position among valid requests in index
+    order within the owner bucket) are identical to the round-3 stable
+    argsort plan, so routed results are bit-identical across the rewrite.
 
-    Everything is sorts + gathers — NO scatter ops: XLA:TPU lowers a scatter
-    whose indices may collide to a SERIAL per-element loop, which at sample-
-    tree sizes costs seconds per step (measured; the original `.at[].set` /
-    `bincount` formulation made the products-scale partitioned step 2.07 s).
-    The inverse permutation is ``argsort(order)`` and segment starts come
-    from ``searchsorted`` on the sorted owner keys.
+    Two plans:
+    * ``num_parts == 1 and capacity >= L`` — the packing permutation IS the
+      identity (one owner, every request fits round 0): scatter is a
+      reshape/pad and pickup a slice.  This removes BOTH ~3.5 ms
+      permutation gathers per exchange at feature-fetch scale (any 469k-row
+      gather costs ~3.5 ms on v5e regardless of row width —
+      scripts/micro_route_components.py).
+    * general — counting ranks via the MXU-blocked scan (no sort), one
+      unique-indices slot scatter, one pack gather, one pickup gather.
+
+    No colliding scatter ops anywhere: XLA:TPU lowers a scatter whose
+    indices may collide to a SERIAL per-element loop (measured: seconds per
+    step at tree sizes).  The slot-table scatter is collision-free by
+    construction (out-of-round requests get distinct out-of-bounds slots,
+    dropped by ``mode="drop"``).
     """
     L = owner.shape[0]
-    sort_key = jnp.where(valid, owner, num_parts).astype(jnp.int32)
-    order = jnp.argsort(sort_key, stable=True)
-    # inverse permutation: a unique-indices scatter is NOT the serial
-    # colliding-scatter path (indices are a permutation by construction)
-    # and replaces the second full sort — TPU sorts are the dominant cost
-    # of routing at products scale
-    inv = jnp.zeros((L,), jnp.int32).at[order].set(
-        jnp.arange(L, dtype=jnp.int32), unique_indices=True)
-    sk = sort_key[order]
-    bounds = jnp.searchsorted(
-        sk, jnp.arange(num_parts + 1, dtype=sk.dtype)).astype(jnp.int32)
-    start = bounds[:num_parts]
-    rank = inv.astype(jnp.int32) - start[jnp.clip(owner, 0, num_parts - 1)]
+
+    if num_parts == 1 and capacity >= L:
+        rank = jnp.arange(L, dtype=jnp.int32)
+
+        def scatter(payload, rnd: int = 0):
+            p = payload
+            if capacity > L:
+                pads = ((0, capacity - L),) + ((0, 0),) * (p.ndim - 1)
+                p = jnp.pad(p, pads)
+            return p[None]
+
+        def pickup(back, rnd: int = 0):
+            return back.reshape((capacity,) + back.shape[2:])[:L]
+
+        def in_round(rnd: int):
+            return valid if rnd == 0 else jnp.zeros((L,), jnp.bool_)
+
+        return _Router(rank, valid, scatter, pickup, in_round, 1)
+
+    ow = jnp.clip(owner, 0, num_parts - 1).astype(jnp.int32)
+    rank = _owner_ranks(ow, valid, num_parts)
+    rank = jnp.where(valid, rank, L)
     ok = (rank < capacity) & valid
 
+    def in_round(rnd: int):
+        return (rank >= rnd * capacity) & (rank < (rnd + 1) * capacity) \
+            & valid
+
     def scatter(payload, rnd: int = 0):
-        """Place payloads routed in round ``rnd`` (ranks in
-        ``[rnd*capacity, (rnd+1)*capacity)``) into their (P, C) slots.
-
-        ``payload`` may be (L,) -> (P, C) or (L, Q) -> (P, C, Q); the 2-D
-        form permutes and slot-gathers ALL columns in one pass (one
-        permutation gather instead of Q — the per-hop routing cost
-        VERDICT r3 item 6 names)."""
-        ps = payload[order]
-        c = jnp.arange(capacity, dtype=jnp.int32)
-        idx = start[:, None] + rnd * capacity + c[None, :]  # (P, C)
-        take = idx < bounds[1:][:, None]                    # within segment
-        got = ps[jnp.clip(idx, 0, L - 1)]
+        """Pack round-``rnd`` payloads into their (P, C[, Q]) slots; the 2-D
+        form permutes ALL columns in one gather."""
+        ir = in_round(rnd)
+        slot = jnp.where(ir, ow * capacity + rank - rnd * capacity,
+                         num_parts * capacity
+                         + jnp.arange(L, dtype=jnp.int32))
+        src = jnp.full((num_parts * capacity,), L, jnp.int32).at[slot].set(
+            jnp.arange(L, dtype=jnp.int32), mode="drop",
+            unique_indices=True)
+        got = src < L
+        ps = payload[jnp.clip(src, 0, L - 1)]
         if payload.ndim == 2:
-            take = take[..., None]
-        return jnp.where(take, got, jnp.zeros((), payload.dtype))
+            got = got[:, None]
+        req = jnp.where(got, ps, jnp.zeros((), payload.dtype))
+        return req.reshape((num_parts, capacity) + payload.shape[1:])
 
-    return rank, ok, scatter
+    def pickup(back, rnd: int = 0):
+        r = jnp.where(in_round(rnd), rank - rnd * capacity, 0)
+        return back[ow, r]
+
+    return _Router(rank, ok, scatter, pickup, in_round, None)
 
 
 def exchange_rounds(payload, owner, valid, owner_fn, *, axis: str,
@@ -254,17 +330,18 @@ def exchange_rounds(payload, owner, valid, owner_fn, *, axis: str,
     where ``overflow`` counts valid requests no round could carry.
     """
     L, Q = payload.shape
-    rank, _ok, scatter = _route_to_owners(owner, valid, num_parts, capacity)
+    router = _route_to_owners(owner, valid, num_parts, capacity)
+    rounds = (num_rounds if router.max_rounds is None
+              else min(num_rounds, router.max_rounds))
     out = jnp.zeros((L, ret_cols), jnp.int32)
     got = jnp.zeros((L,), jnp.bool_)
-    for rnd in range(num_rounds):
-        in_round = (rank >= rnd * capacity) & (rank < (rnd + 1) * capacity) \
-            & valid
-        req = scatter(payload, rnd)                           # (P, C, Q)
+    for rnd in range(rounds):
+        in_round = router.in_round(rnd)
+        req = router.scatter(payload, rnd)                    # (P, C, Q)
         recv = jax.lax.all_to_all(req, axis, 0, 0)
         res = owner_fn(recv)                                  # (P, C, R)
         back = jax.lax.all_to_all(res, axis, 0, 0)
-        mine = back[owner, jnp.where(in_round, rank - rnd * capacity, 0)]
+        mine = router.pickup(back, rnd)
         out = jnp.where(in_round[:, None], mine, out)
         got = jnp.logical_or(got, in_round)
     overflow = (valid & ~got).sum()

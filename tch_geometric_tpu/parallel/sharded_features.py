@@ -70,19 +70,17 @@ def halo_gather(x_shard: jax.Array, ids: jax.Array, *, axis: str,
     local = (ids // num_parts).astype(jnp.int32)
     if valid is None:
         valid = jnp.ones((L,), bool)
-    # invalid slots sort past every valid one so they never consume
-    # capacity; routing is sorts + gathers only — NO scatter ops (XLA:TPU
-    # lowers possibly-colliding scatters to a serial loop; see
-    # dist_sampling._route_to_owners)
+    # invalid slots never consume capacity; routing plans (identity at
+    # P=1 / counting-scan general) come from dist_sampling._route_to_owners
     from .dist_sampling import _route_to_owners
-    rank_all, _ok, scatter = _route_to_owners(owner, valid, num_parts,
-                                              capacity)
+    router = _route_to_owners(owner, valid, num_parts, capacity)
+    rounds = (num_rounds if router.max_rounds is None
+              else min(num_rounds, router.max_rounds))
     out = jnp.zeros((L, x_shard.shape[-1]), x_shard.dtype)
     got = jnp.zeros((L,), bool)
-    for rnd in range(num_rounds):
-        in_round = ((rank_all >= rnd * capacity)
-                    & (rank_all < (rnd + 1) * capacity) & valid)
-        req = scatter(local, rnd)
+    for rnd in range(rounds):
+        in_round = router.in_round(rnd)
+        req = router.scatter(local, rnd)
         # route requests to owners; owners gather locally; rows route back
         with jax.named_scope("halo.route_requests"):
             peer_req = jax.lax.all_to_all(req, axis, 0, 0)  # (P, C) of me
@@ -90,10 +88,12 @@ def halo_gather(x_shard: jax.Array, ids: jax.Array, *, axis: str,
             rows = x_shard[jnp.clip(peer_req, 0, x_shard.shape[0] - 1)]
         with jax.named_scope("halo.route_rows"):
             back = jax.lax.all_to_all(rows, axis, 0, 0)     # (P, C, F) mine
-        mine = back[owner, jnp.where(in_round, rank_all - rnd * capacity, 0)]
+        mine = router.pickup(back, rnd)
+        # single mask per round: rows outside the round stay at their prior
+        # value (zeros in round 0) — the old trailing where(got) re-stream
+        # of the (L, F) buffer was redundant with this mask
         out = jnp.where(in_round[:, None], mine, out)
         got = jnp.logical_or(got, in_round)
-    out = jnp.where(got[:, None], out, 0)
     return out, (~got & valid).sum()
 
 
