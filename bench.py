@@ -134,6 +134,28 @@ def bench_torch_cpu(indptr, indices):
     return E / dt
 
 
+def run_kernel_gates():
+    """On-chip numerical gates (VERDICT r3 item 2): every Pallas kernel vs
+    the XLA segment-op reference ON THE HARDWARE THIS BENCH TIMES.
+    interpret-mode tests cannot catch real-Mosaic lowering divergence — the
+    recurring bug class documented in BASELINE.md's attention fix history.
+    Returns (errs_f32, errs_bf16, all_pass)."""
+    import jax.numpy as jnp
+    from tch_geometric_tpu.utils.kernel_gates import (BF16_THRESHOLD,
+                                                      F32_THRESHOLD, gate,
+                                                      run_kernel_gates as rg)
+    t0 = time.time()
+    errs_f32 = rg(compute_dtype=jnp.float32)
+    ok32, worst32 = gate(errs_f32, F32_THRESHOLD)
+    errs_bf16 = rg(compute_dtype=jnp.bfloat16)
+    ok16, worst16 = gate(errs_bf16, BF16_THRESHOLD)
+    log(f"kernel gates ({time.time()-t0:.0f}s): f32 worst {worst32} "
+        f"(thr {F32_THRESHOLD}), bf16 worst {worst16} (thr {BF16_THRESHOLD})")
+    if not (ok32 and ok16):
+        log(f"KERNEL GATE FAILURE: f32={errs_f32} bf16={errs_bf16}")
+    return errs_f32, errs_bf16, bool(ok32 and ok16)
+
+
 def main():
     indptr, indices = build_graph()
     try:
@@ -142,6 +164,11 @@ def main():
         log(f"torch baseline failed: {e}")
         baseline = None
     value, roofline_frac = bench_tpu(indptr, indices)
+    try:
+        errs_f32, errs_bf16, gates_pass = run_kernel_gates()
+    except Exception as e:   # a gate crash is itself a red flag — report it
+        log(f"kernel gates crashed: {e!r}")
+        errs_f32, errs_bf16, gates_pass = {}, {}, False
     vs = (value / baseline) if baseline else 0.0
     print(json.dumps({
         "metric": "spmm_edges_per_sec_per_chip",
@@ -149,6 +176,11 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(vs, 2),
         "roofline_frac_of_measured_gather_wall": round(roofline_frac, 3),
+        "kernel_gates_pass": gates_pass,
+        "kernel_gate_max_abs_err_f32":
+            {k: float(f"{v:.3e}") for k, v in errs_f32.items()},
+        "kernel_gate_max_abs_err_bf16":
+            {k: float(f"{v:.3e}") for k, v in errs_bf16.items()},
     }))
 
 

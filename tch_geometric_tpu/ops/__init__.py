@@ -27,6 +27,7 @@ from .attention_blocked import (
     edge_softmax_blocked,
     edge_softmax_blocked_multihead,
     gat_attend_blocked,
+    gat_attend_blocked_packed,
     gat_edge_logits_blocked,
     sddmm_blocked_pallas,
     spmm_blocked_multiweighted_pallas,

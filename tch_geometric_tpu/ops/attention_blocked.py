@@ -762,6 +762,156 @@ def gat_attend_blocked_flash(b: BlockedCsr, h: jax.Array,
     return att[: b.num_rows]
 
 
+def _gat_packed_kernel(chunk_block_ref, lr_lane_ref, g_ref, ad_ref,
+                       out_ref, m_ref, z_ref, *, heads: int,
+                       negative_slope: float):
+    """HEAD-PACKED multi-head GAT flash attend: one traversal, one gather,
+    and — unlike :func:`_gat_flash_kernel` — NO per-head (W, C) stat passes
+    and NO skinny per-head (W, C)@(C, D) matmuls (the measured 2.6x loss of
+    the first flash-GAT attempt, BASELINE.md round-3 negative result).
+
+    Layout: every per-head quantity lives as H lanes of a (C, H) or (W, H)
+    tile; per-edge selects against the one-hot ride the MXU as NT matmuls
+    (lhs^T @ rhs with both operands sublane-major — the dot_general form
+    real Mosaic lowers without a transpose, per the round-2 fix history);
+    the weighted feature contraction is ONE full-width (W, C)@(C, H*D)
+    matmul with the exp'd per-head weights expanded over each head's D
+    lanes by a constant (H, H*D) one-hot matmul.
+
+    Stabilization is the scalar-chunk-max scheme of
+    :func:`_flash_kernel_scalar`, per head: M[h] = max over the chunk's
+    lanes of s[:, h], so exp(s - M) <= 1 and no per-edge running-max
+    select is needed.
+    """
+    t = pl.program_id(0)
+    blk = chunk_block_ref[t]
+    prev_blk = chunk_block_ref[jnp.maximum(t - 1, 0)]
+    first = jnp.logical_or(t == 0, blk != prev_blk)
+
+    H = heads
+    lr = lr_lane_ref[0]                                  # (1, C)
+    W = ad_ref.shape[0]
+    C = lr.shape[-1]
+    FH = g_ref.shape[-1]
+    D = (FH - H) // H
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+    ohT = iota_w == lr                                   # (W, C) bool
+    ohTf = ohT.astype(jnp.float32)
+
+    g = g_ref[0]                                         # (C, H*D + H)
+    asrc = g[:, H * D:].astype(jnp.float32)              # (C, H)
+
+    # per-edge alpha_dst for every head + lane-claimed flag, in ONE NT
+    # matmul: [ad | 1] selected through the one-hot (exact: each lane has
+    # at most one claiming row)
+    adw = jnp.concatenate(
+        [ad_ref[:], jnp.ones((W, 1), jnp.float32)], axis=1)   # (W, H+1)
+    sel = jax.lax.dot_general(
+        ohTf, adw, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (C, H+1)
+    ad_e = sel[:, :H]
+    claimed = sel[:, H:]                                 # (C, 1)
+
+    s = asrc + ad_e
+    s = jnp.where(s > 0, s, negative_slope * s)          # leaky_relu (C, H)
+    s_m = jnp.where(claimed > 0, s, NEG_INF)
+    M = jnp.max(s_m, axis=0, keepdims=True)              # (1, H)
+    M = jnp.where(jnp.isfinite(M), M, 0.0)
+    E = jnp.where(claimed > 0, jnp.exp(s - M), 0.0)      # (C, H) <= 1
+
+    # expand the per-head weights over each head's D feature lanes with a
+    # constant one-hot (reshape-free, same trick as _gat_flash_kernel)
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (H, H * D), 1) // D
+    head_row = jax.lax.broadcasted_iota(jnp.int32, (H, H * D), 0)
+    expand = (col_head == head_row).astype(jnp.float32)  # (H, H*D)
+    e_wide = jnp.dot(E, expand,
+                     preferred_element_type=jnp.float32)  # (C, H*D)
+    rhs = (g[:, : H * D].astype(jnp.float32) * e_wide).astype(g_ref.dtype)
+    part = jnp.dot(ohT.astype(g_ref.dtype), rhs,
+                   preferred_element_type=jnp.float32)   # (W, H*D)
+    z_c = jnp.dot(ohTf, E,
+                  preferred_element_type=jnp.float32)    # (W, H)
+    m_c = jnp.broadcast_to(M, (W, H))
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = part
+        m_ref[:] = m_c
+        z_ref[:] = z_c
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        m_old = m_ref[:]
+        m_new = jnp.maximum(m_old, m_c)
+        r_old = jnp.exp(m_old - m_new)                   # (W, H)
+        r_c = jnp.exp(m_c - m_new)
+        r_old_w = jnp.dot(r_old, expand,
+                          preferred_element_type=jnp.float32)
+        r_c_w = jnp.dot(r_c, expand,
+                        preferred_element_type=jnp.float32)
+        out_ref[:] = out_ref[:] * r_old_w + part * r_c_w
+        m_ref[:] = m_new
+        z_ref[:] = z_ref[:] * r_old + z_c * r_c
+
+
+def gat_attend_blocked_packed(b: BlockedCsr, h: jax.Array,
+                              alpha_src: jax.Array, alpha_dst: jax.Array, *,
+                              negative_slope: float = 0.2,
+                              compute_dtype=jnp.bfloat16,
+                              interpret: bool = False) -> jax.Array:
+    """Head-packed one-kernel one-gather multi-head GAT (VERDICT r3 #5).
+
+    Same semantics as :func:`gat_attend_blocked` (GATv1 additive logits,
+    per-dst softmax, per-head weighted mean of projected source features,
+    /root/reference-parity GAT aggregation); same wide-gather layout as
+    :func:`gat_attend_blocked_flash` (alpha_src rides the feature gather)
+    but with the head-packed kernel that keeps every matmul full-width.
+    ``h``: (N, H, D); ``alpha_src``/``alpha_dst``: (N, H).  Returns
+    (num_rows, H, D) float32.
+    """
+    N, H, D = h.shape
+    W = b.rows_per_block
+    T, C = b.edge_src.shape
+    B = b.num_blocks
+    assert C % 128 == 0 and W % 128 == 0
+
+    hw = jnp.concatenate(
+        [h.reshape(N, H * D).astype(compute_dtype),
+         alpha_src.astype(compute_dtype)], axis=-1)      # (N, H*D + H)
+    g = hw[b.edge_src]                                   # THE gather
+    ad = _pad_dst(b, alpha_dst.astype(jnp.float32))      # (B*W, H)
+    lr_lane = b.edge_local_row.reshape(T, 1, C)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, C), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, C, H * D + H), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((W, H), lambda t, cb: (cb[t], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((W, H * D), lambda t, cb: (cb[t], 0)),
+            pl.BlockSpec((W, H), lambda t, cb: (cb[t], 0)),
+            pl.BlockSpec((W, H), lambda t, cb: (cb[t], 0)),
+        ],
+    )
+    out, _m, z = pl.pallas_call(
+        functools.partial(_gat_packed_kernel, heads=H,
+                          negative_slope=negative_slope),
+        grid_spec=grid,
+        out_shape=[jax.ShapeDtypeStruct((B * W, H * D), jnp.float32),
+                   jax.ShapeDtypeStruct((B * W, H), jnp.float32),
+                   jax.ShapeDtypeStruct((B * W, H), jnp.float32)],
+        interpret=interpret,
+    )(b.chunk_block, lr_lane, g, ad)
+    # FTZ-safe normalization (see gat_attend_blocked_flash)
+    zc = z[..., None]
+    att = jnp.where(zc > 0, out.reshape(B * W, H, D)
+                    / jnp.maximum(zc, 1e-20), 0.0)
+    return att[: b.num_rows]
+
+
 def attend_blocked(b: BlockedCsr, x_dst: jax.Array, x_src: jax.Array, *,
                    scale: float | None = None,
                    compute_dtype=jnp.bfloat16,
