@@ -117,34 +117,38 @@ def run_config(name: str, n_per_type: int, e_per_rel: int, skew: bool):
         row_indices[rel_key(e)] = np.asarray(ci)
         graphs[rel_key(e)] = make_graph(cp, ci, num_src=node_counts[e[0]],
                                         num_dst=node_counts[e[2]])
-    x_tables = {t: jnp.asarray(v) for t, v in xs.items()}
-    init_fn, train_step = make_hgt_trainer(
-        model, graphs, edge_types, num_samples, LAYERS, node_counts,
-        x_tables, seed_type="v0", learning_rate=1e-3)
-    t0 = time.time()
-    state = init_fn(key, jnp.asarray(seeds))
-    state, loss, acc = train_step(state, key, jnp.asarray(seeds), labels)
-    jax.block_until_ready(loss)
-    print(f"replicated compile: {time.time()-t0:.0f}s", flush=True)
+    rep_ind = None
+    if not os.environ.get("HGT_SKIP_REPLICATED"):
+        x_tables = {t: jnp.asarray(v) for t, v in xs.items()}
+        init_fn, train_step = make_hgt_trainer(
+            model, graphs, edge_types, num_samples, LAYERS, node_counts,
+            x_tables, seed_type="v0", learning_rate=1e-3)
+        t0 = time.time()
+        state = init_fn(key, jnp.asarray(seeds))
+        state, loss, acc = train_step(state, key, jnp.asarray(seeds),
+                                      labels)
+        jax.block_until_ready(loss)
+        print(f"replicated compile: {time.time()-t0:.0f}s", flush=True)
 
-    st = state
-    t0 = time.perf_counter()
-    K = 10
-    for _ in range(K):
-        st, loss, acc = train_step(st, key, jnp.asarray(seeds), labels)
-    jax.block_until_ready(loss)
-    dep = (time.perf_counter() - t0) / K
-    outs = []
-    t0 = time.perf_counter()
-    for _ in range(K):
-        _s, loss, acc = train_step(state, key, jnp.asarray(seeds), labels)
-        outs.append(loss)
-    jax.block_until_ready(outs[-1])
-    ind = (time.perf_counter() - t0) / K
-    print(f"replicated HGT step: dependent {dep*1e3:.1f} ms | "
-          f"device-time (independent) {ind*1e3:.1f} ms "
-          f"loss={float(loss):.3f}", flush=True)
-    rep_ind = ind
+        st = state
+        t0 = time.perf_counter()
+        K = 10
+        for _ in range(K):
+            st, loss, acc = train_step(st, key, jnp.asarray(seeds), labels)
+        jax.block_until_ready(loss)
+        dep = (time.perf_counter() - t0) / K
+        outs = []
+        t0 = time.perf_counter()
+        for _ in range(K):
+            _s, loss, acc = train_step(state, key, jnp.asarray(seeds),
+                                       labels)
+            outs.append(loss)
+        jax.block_until_ready(outs[-1])
+        ind = (time.perf_counter() - t0) / K
+        print(f"replicated HGT step: dependent {dep*1e3:.1f} ms | "
+              f"device-time (independent) {ind*1e3:.1f} ms "
+              f"loss={float(loss):.3f}", flush=True)
+        rep_ind = ind
 
     # ---- fully partitioned trainer ----------------------------------
     n_dev = 1
@@ -169,10 +173,11 @@ def run_config(name: str, n_per_type: int, e_per_rel: int, skew: bool):
         print(f"partitioned compile: {time.time()-t0:.0f}s", flush=True)
         dep, ind, ovf, loss = time_steps(
             train_step, state, (key, rels_put, x_put, seeds, labels))
+        gap = "" if rep_ind is None else \
+            f" gap vs replicated: {ind/rep_ind:.2f}x"
         print(f"partitioned HGT step (P={n_dev}): dependent {dep*1e3:.1f} ms"
               f" | device-time (independent) {ind*1e3:.1f} ms "
-              f"loss={loss:.3f} overflow={ovf} "
-              f"gap vs replicated: {ind/rep_ind:.2f}x", flush=True)
+              f"loss={loss:.3f} overflow={ovf}{gap}", flush=True)
 
 
 if __name__ == "__main__":

@@ -71,7 +71,9 @@ model = GraphSAGE(hidden=256, out=47, num_layers=3)
 # capacity with a retry round shrinks every exchange buffer (and the
 # owner-side work over its padded slots) as long as overflow stays 0
 cfgs = os.environ.get("PART_CONFIGS", "1.3:1,0.8:2,0.6:2")
-for cfg in cfgs.split(","):
+if os.environ.get("PART_ONLY_TAIL"):
+    cfgs = ""
+for cfg in [c for c in cfgs.split(",") if c]:
     cf, rounds = cfg.split(":")
     cf, rounds = float(cf), int(rounds)
     xdt = jnp.bfloat16 if os.environ.get("PART_BF16") else None

@@ -129,14 +129,15 @@ class GATConv(nn.Module):
         alpha_src = (h * a_src[None]).sum(-1)           # (N, H)
         alpha_dst = (h * a_dst[None]).sum(-1)
         if blocked is not None:
-            # NEGATIVE RESULT (measured, v5e): the one-kernel flash GAT
-            # (gat_attend_blocked_flash) is 2.6x SLOWER (71 vs 27 ms at
-            # E=4.2M, H=4, d=32) — its per-head loop runs 4 skinny
-            # (W,C)@(C,32) MXU matmuls + 4x the masked stat passes,
-            # losing more than the saved alpha gathers.  The composed
-            # multihead path stays.
-            from ..ops.attention_blocked import gat_attend_blocked
-            out = gat_attend_blocked(
+            # Round-4: the HEAD-PACKED one-kernel one-gather GAT
+            # (gat_attend_blocked_packed) measures 2.0x FASTER than the
+            # composed multihead pipeline at E=4.2M, H=4, d=32 (81% of the
+            # 1-gather floor) — it fixes the round-3 flash-GAT negative
+            # result (2.6x slower: per-head skinny matmuls + H-fold stat
+            # passes) by riding every per-edge select on the MXU as NT
+            # matmuls and doing ONE full-width weighted contraction.
+            from ..ops.attention_blocked import gat_attend_blocked_packed
+            out = gat_attend_blocked_packed(
                 blocked, h, alpha_src, alpha_dst,
                 compute_dtype=jnp.float32 if self.dtype is None else self.dtype,
                 interpret=jax.default_backend() != "tpu")

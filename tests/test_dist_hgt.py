@@ -231,6 +231,7 @@ def _hgt_trainer_invariance(mesh_sizes, hidden, heads, num_steps,
         assert results[base][2] >= min_eval_acc          # memorizes 8 seeds
 
 
+@pytest.mark.slow
 def test_partitioned_hgt_trainer_invariance():
     """Fast tier: P=1 vs P=2 at minimal width pins the invariance law."""
     _hgt_trainer_invariance((1, 2), hidden=8, heads=1, num_steps=3)

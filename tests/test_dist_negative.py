@@ -144,6 +144,7 @@ def test_accept_rate_matches_density():
     assert 0.35 < rate < 0.62     # ~1 - density - 1/N self-loop mass
 
 
+@pytest.mark.slow
 def test_partitioned_link_trainer_invariance(karate_csr):
     """Distributed link-prediction training: loss trajectories and ranking
     accuracy agree across P=1/2/4 to float precision (the sampled trees

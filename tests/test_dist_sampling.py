@@ -188,6 +188,7 @@ def test_multi_round_routing_skewed_frontier(karate_csc):
         np.testing.assert_array_equal(results[1][1], results[Pn][1])
 
 
+@pytest.mark.slow
 def test_halo_gather_multi_round():
     """halo_gather with every request aimed at owner 0: a tight capacity
     drops rows in one round, retry rounds recover every row exactly."""
@@ -230,6 +231,7 @@ def test_halo_gather_multi_round():
                                        x[owner * Np + local])
 
 
+@pytest.mark.slow
 def test_partitioned_trainer_karate():
     x_np, y, edge_index = load_karate_graph()
     col_ptrs, row_indices, _perm = to_csc(np.asarray(edge_index), 34)
@@ -350,6 +352,7 @@ def test_temporal_dist_sampling(karate_csc, ell_table):
                 assert nodes_state[d][r] == ts[e]
 
 
+@pytest.mark.slow
 def test_temporal_weighted_partitioned_trainer_invariance():
     """VERDICT r3 item 4: weighted + temporal sampling reachable FROM the
     partitioned train step — loss trajectories are P-invariant (bit-exact
@@ -407,6 +410,7 @@ def test_temporal_weighted_partitioned_trainer_invariance():
     assert results[1][0][-1] < results[1][0][0]
 
 
+@pytest.mark.slow
 def test_partitioned_trainer_bf16_exchange_invariance():
     """exchange_dtype=bf16 (halved halo traffic) keeps loss trajectories
     P-invariant and training moving."""

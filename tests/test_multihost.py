@@ -12,10 +12,12 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_multihost_bit_identical_2x2_vs_1x4():
     env = dict(os.environ)
     # the rig sets its own per-worker XLA_FLAGS/JAX_PLATFORM env

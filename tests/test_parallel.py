@@ -58,6 +58,7 @@ def test_alltoall_gather(mesh):
                 np.testing.assert_allclose(out[d, s, r], want)
 
 
+@pytest.mark.slow
 def test_dp_tp_train_step(karate, mesh2d=None):
     # exercised via __graft_entry__.dryrun_multichip
     import __graft_entry__ as ge

@@ -69,6 +69,7 @@ def test_halo_gather_matches_direct(mesh, capacity_factor):
         assert total_missing == 0
 
 
+@pytest.mark.slow
 def test_sharded_trainer_karate(mesh):
     x_np, y, edge_index = load_karate_graph()
     g = csc_graph_from_coo(edge_index, 34)

@@ -127,6 +127,7 @@ def test_seed_loader():
     assert len(batches) == 5 and len(batches[-1]) == 8
 
 
+@pytest.mark.slow
 def test_hgt_trainer_e2e(hetero_data):
     """BASELINE config 4: hetero HGT sampling + relation-typed attention
     trains on fakehetero v0 labels."""
