@@ -47,15 +47,17 @@ def _maxerr(a, b) -> float:
 
 
 def run_kernel_gates(compute_dtype=jnp.float32,
-                     n: int = 4096, e: int = 65536
-                     ) -> Dict[str, float]:
+                     n: int = 4096, e: int = 65536,
+                     interpret: bool = False) -> Dict[str, float]:
     """Run every production Pallas kernel on the current default backend and
     return ``{kernel_name: max_abs_err}`` vs the XLA reference.
 
     ``compute_dtype=jnp.float32`` isolates lowering bugs from rounding;
     callers may re-run with ``jnp.bfloat16`` (the bench dtype) and a looser
     threshold.  All comparisons are jitted so the kernels run exactly as the
-    benchmarks run them.
+    benchmarks run them.  ``interpret=True`` exists only for CPU smoke
+    tests of this harness itself — it defeats the purpose of the gate
+    (catching real-Mosaic divergence) and must stay False on hardware.
     """
     from ..ops.attention_blocked import (attend_blocked_flash,
                                          gat_attend_blocked,
@@ -88,14 +90,18 @@ def run_kernel_gates(compute_dtype=jnp.float32,
         return s / jnp.maximum(deg, 1.0)[:, None]
 
     ref = ref_spmm(x)
+    # spmm_blocked_auto self-dispatches: Pallas on TPU, XLA blocked path
+    # elsewhere (so the CPU smoke test exercises the XLA path here)
     out = jax.jit(lambda x: spmm_blocked_auto(
         b, x, agg="mean", compute_dtype=compute_dtype))(x)
     errs["spmm_blocked_auto"] = _maxerr(out[:n], ref)
     out = jax.jit(lambda x: spmm_hot_split(
-        hs, x, agg="mean", compute_dtype=compute_dtype))(x)
+        hs, x, agg="mean", compute_dtype=compute_dtype,
+        interpret=interpret))(x)
     errs["spmm_hot_split"] = _maxerr(out[:n], ref)
     out = jax.jit(lambda x: spmm_hot_split_segmented(
-        hseg, x, agg="mean", compute_dtype=compute_dtype))(x)
+        hseg, x, agg="mean", compute_dtype=compute_dtype,
+        interpret=interpret))(x)
     errs["spmm_hot_split_segmented"] = _maxerr(out[:n], ref)
 
     # --- SDDMM v2: per-edge dst·src scores -------------------------------
@@ -109,7 +115,8 @@ def run_kernel_gates(compute_dtype=jnp.float32,
 
     @jax.jit
     def run_sddmm(x):
-        s = sddmm_blocked_pallas_v2(b, x, x, compute_dtype=compute_dtype)
+        s = sddmm_blocked_pallas_v2(b, x, x, compute_dtype=compute_dtype,
+                                    interpret=interpret)
         flat = s.reshape(-1)
         ev = evalid.reshape(-1)
         ep = jnp.clip(eptr.reshape(-1), 0, e - 1)
@@ -128,7 +135,8 @@ def run_kernel_gates(compute_dtype=jnp.float32,
     aref = ref_attend(x)
     for rs in (True, False):
         out = jax.jit(lambda x, rs=rs: attend_blocked_flash(
-            b, x, x, compute_dtype=compute_dtype, row_stats=rs))(x)
+            b, x, x, compute_dtype=compute_dtype, row_stats=rs,
+            interpret=interpret))(x)
         errs[f"attend_blocked_flash[row_stats={rs}]"] = _maxerr(out[:n],
                                                                 aref)
 
@@ -148,13 +156,16 @@ def run_kernel_gates(compute_dtype=jnp.float32,
 
     gref = ref_gat(h, a_s, a_d)
     out = jax.jit(lambda h, a_s, a_d: gat_attend_blocked(
-        b, h, a_s, a_d, compute_dtype=compute_dtype))(h, a_s, a_d)
+        b, h, a_s, a_d, compute_dtype=compute_dtype,
+        interpret=interpret))(h, a_s, a_d)
     errs["gat_attend_blocked"] = _maxerr(out[:n], gref)
     out = jax.jit(lambda h, a_s, a_d: gat_attend_blocked_flash(
-        b, h, a_s, a_d, compute_dtype=compute_dtype))(h, a_s, a_d)
+        b, h, a_s, a_d, compute_dtype=compute_dtype,
+        interpret=interpret))(h, a_s, a_d)
     errs["gat_attend_blocked_flash"] = _maxerr(out[:n], gref)
     out = jax.jit(lambda h, a_s, a_d: gat_attend_blocked_packed(
-        b, h, a_s, a_d, compute_dtype=compute_dtype))(h, a_s, a_d)
+        b, h, a_s, a_d, compute_dtype=compute_dtype,
+        interpret=interpret))(h, a_s, a_d)
     errs["gat_attend_blocked_packed"] = _maxerr(out[:n], gref)
 
     return errs
