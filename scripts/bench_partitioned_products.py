@@ -144,6 +144,12 @@ seeds_np = rng_np.integers(0, data.num_nodes, B).astype(np.int32)
 for cf, rounds in ((1.3, 1), (1.3, 2)):
     sample, ovf = dist_budget_sample(key, pg, seeds_np, (15, 10, 5), mesh,
                                      capacity_factor=cf, num_rounds=rounds)
+    # TRUE barrier before timing: a host fetch.  block_until_ready on a
+    # remote axon buffer does not guarantee execution completed, and the
+    # first timed loop otherwise absorbs the 1.2 GB graph transfer
+    # (measured: the same binary reads 966 ms cold-absorbed vs 28 ms
+    # warmed — scripts/../tmp analysis, round 4)
+    np.asarray(sample.nodes)
     n_requests = sum(B * int(np.prod([15, 10, 5][:i]))
                      for i in range(3))
     t0 = time.perf_counter()
@@ -175,6 +181,7 @@ for cf, rounds in ((1.3, 1), (1.3, 2)):
     walks, wts, ovf = dist_biased_tempo_random_walk(
         key, pgw, starts, start_ts, 20, "exponential", mesh, retry_count=3,
         capacity_factor=cf, num_rounds=rounds)
+    np.asarray(walks)      # true barrier (see budget warmup note)
     t0 = time.perf_counter()
     K = 5
     for _ in range(K):
