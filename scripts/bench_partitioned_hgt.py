@@ -75,12 +75,15 @@ def build_hetero(n_per_type: int, e_per_rel: int, *, skew: bool, seed=0):
 
 
 def time_steps(train_step, state, args, k=10):
+    # NB: block_until_ready on a remote axon buffer is NOT a true barrier;
+    # only a host fetch is (bench.py / BASELINE.md).  The device queue is
+    # serial, so fetching the last call's loss syncs the whole batch.
     # dependent chain (includes tunnel round trips)
     st = state
     t0 = time.perf_counter()
     for _ in range(k):
         st, loss, acc, ovf = train_step(st, *args)
-    jax.block_until_ready(loss)
+    float(np.asarray(loss))
     dep = (time.perf_counter() - t0) / k
     # independent calls (device time)
     outs = []
@@ -88,7 +91,7 @@ def time_steps(train_step, state, args, k=10):
     for _ in range(k):
         _s, loss, acc, ovf = train_step(state, *args)
         outs.append(loss)
-    jax.block_until_ready(outs[-1])
+    float(np.asarray(outs[-1]))
     ind = (time.perf_counter() - t0) / k
     return dep, ind, int(np.asarray(ovf)), float(np.asarray(loss))
 
@@ -127,7 +130,7 @@ def run_config(name: str, n_per_type: int, e_per_rel: int, skew: bool):
         state = init_fn(key, jnp.asarray(seeds))
         state, loss, acc = train_step(state, key, jnp.asarray(seeds),
                                       labels)
-        jax.block_until_ready(loss)
+        float(np.asarray(loss))       # true barrier (host fetch)
         print(f"replicated compile: {time.time()-t0:.0f}s", flush=True)
 
         st = state
@@ -135,7 +138,7 @@ def run_config(name: str, n_per_type: int, e_per_rel: int, skew: bool):
         K = 10
         for _ in range(K):
             st, loss, acc = train_step(st, key, jnp.asarray(seeds), labels)
-        jax.block_until_ready(loss)
+        float(np.asarray(loss))
         dep = (time.perf_counter() - t0) / K
         outs = []
         t0 = time.perf_counter()
@@ -143,7 +146,7 @@ def run_config(name: str, n_per_type: int, e_per_rel: int, skew: bool):
             _s, loss, acc = train_step(state, key, jnp.asarray(seeds),
                                        labels)
             outs.append(loss)
-        jax.block_until_ready(outs[-1])
+        float(np.asarray(outs[-1]))
         ind = (time.perf_counter() - t0) / K
         print(f"replicated HGT step: dependent {dep*1e3:.1f} ms | "
               f"device-time (independent) {ind*1e3:.1f} ms "
@@ -169,7 +172,7 @@ def run_config(name: str, n_per_type: int, e_per_rel: int, skew: bool):
         state = init_fn(key, rels_put, x_put, seeds)
         state, loss, acc, ovf = train_step(state, key, rels_put, x_put,
                                            seeds, labels)
-        jax.block_until_ready(loss)
+        float(np.asarray(loss))       # true barrier (host fetch)
         print(f"partitioned compile: {time.time()-t0:.0f}s", flush=True)
         dep, ind, ovf, loss = time_steps(
             train_step, state, (key, rels_put, x_put, seeds, labels))
