@@ -176,6 +176,16 @@ def main():
         log(f"gat 4-head (flash)  : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} "
             f"Gedge/s (compile {cs:.0f}s)")
 
+    if want("gat_packed"):
+        from tch_geometric_tpu.ops.attention_blocked import (
+            gat_attend_blocked_packed)
+        dt, cs = timed(chain(
+            lambda e: gat_attend_blocked_packed(b, hh + e, a_src,
+                                                a_dst).sum()))
+        rows.append(("gat_packed", dt))
+        log(f"gat 4-head (packed) : {dt*1e3:7.2f} ms  {E/dt/1e9:6.3f} "
+            f"Gedge/s (compile {cs:.0f}s)")
+
     # context: the gather wall for ONE (T, C, F) source fetch
     padded_idx = b.edge_src.reshape(-1)
 
@@ -194,7 +204,7 @@ def main():
         gathers = {"sddmm": 1, "sddmm_v2": 1, "edge_softmax": 0,
                    "weighted_spmm": 1, "attend_full": 1, "attend_fused": 1,
                    "attend_flash_row": 1, "attend_flash_scalar": 1,
-                   "gat_4head": 0, "gat_flash": 1}[name]
+                   "gat_4head": 0, "gat_flash": 1, "gat_packed": 1}[name]
         if gathers:
             log(f"  {name}: {gathers*dtf/dt*100:.1f}% of its "
                 f"{gathers}-gather floor")

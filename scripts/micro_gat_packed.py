@@ -31,7 +31,10 @@ rng = np.random.default_rng(0)
 dst = np.sort(rng.integers(0, N, E))
 src = rng.integers(0, N, E)
 indptr = np.searchsorted(dst, np.arange(N + 1)).astype(np.int64)
-b = build_blocked(indptr, src.astype(np.int64), rows_per_block=256)
+W = int(os.environ.get("GAT_W", "128"))
+CE = os.environ.get("GAT_CHUNK")
+b = build_blocked(indptr, src.astype(np.int64), rows_per_block=W,
+                  **({"chunk_edges": int(CE)} if CE else {}))
 h = jnp.asarray(rng.normal(size=(N, H, D)).astype(np.float32))
 a_s = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
 a_d = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))

@@ -137,8 +137,12 @@ class GATConv(nn.Module):
             # passes) by riding every per-edge select on the MXU as NT
             # matmuls and doing ONE full-width weighted contraction.
             from ..ops.attention_blocked import gat_attend_blocked_packed
+            # GATv1's alpha_src IS a linear projection of h, so the kernel
+            # recomputes it in-kernel from the exactly-256-byte-aligned
+            # feature gather (the gather engine's only fast row width —
+            # widened rows cost ~3x per access, BASELINE.md round 4)
             out = gat_attend_blocked_packed(
-                blocked, h, alpha_src, alpha_dst,
+                blocked, h, alpha_src, alpha_dst, alpha_src_vec=a_src,
                 compute_dtype=jnp.float32 if self.dtype is None else self.dtype,
                 interpret=jax.default_backend() != "tpu")
             return out.reshape(-1, self.features)

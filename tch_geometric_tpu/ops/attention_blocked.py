@@ -789,17 +789,50 @@ def _gat_packed_kernel(chunk_block_ref, lr_lane_ref, g_ref, ad_ref,
     first = jnp.logical_or(t == 0, blk != prev_blk)
 
     H = heads
+    g = g_ref[0]                                         # (C, H*D + H)
+    asrc = g[:, (g.shape[-1] - H):].astype(jnp.float32)  # (C, H)
+    _gat_packed_core(lr_lane_ref, g[:, : g.shape[-1] - H], asrc, ad_ref,
+                     out_ref, m_ref, z_ref, first, heads=heads,
+                     negative_slope=negative_slope)
+
+
+def _gat_packed_vec_kernel(chunk_block_ref, lr_lane_ref, g_ref, ad_ref,
+                           avec_ref, out_ref, m_ref, z_ref, *, heads: int,
+                           negative_slope: float):
+    """Projection variant: the gather stays at the ALIGNED (C, H*D) feature
+    width and per-edge ``alpha_src`` is computed IN-KERNEL as the linear
+    projection it is in GATv1 (``alpha_src[i] = sum_d h[i,h,d]*a[h,d]``)
+    via one (C, H*D)@(H*D, H) matmul against the block-diagonal-expanded
+    projection vector.  Motivation (measured, v5e): the gather engine's
+    fast path exists ONLY at exactly-256-byte rows — widening the row to
+    264 B (or padding to 272-512 B) drops it from 380 to ~130 Macc/s, so
+    the widened one-gather layout pays a 34 ms floor where the aligned
+    (N, 128)-bf16 gather pays 11.8 ms (scripts/micro_gat_packed.py)."""
+    t = pl.program_id(0)
+    blk = chunk_block_ref[t]
+    prev_blk = chunk_block_ref[jnp.maximum(t - 1, 0)]
+    first = jnp.logical_or(t == 0, blk != prev_blk)
+
+    g = g_ref[0]                                         # (C, H*D)
+    asrc = jax.lax.dot_general(
+        g.astype(jnp.float32), avec_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (C, H)
+    _gat_packed_core(lr_lane_ref, g, asrc, ad_ref, out_ref, m_ref, z_ref,
+                     first, heads=heads, negative_slope=negative_slope)
+
+
+def _gat_packed_core(lr_lane_ref, g_feat, asrc, ad_ref, out_ref, m_ref,
+                     z_ref, first, *, heads: int, negative_slope: float):
+    H = heads
     lr = lr_lane_ref[0]                                  # (1, C)
     W = ad_ref.shape[0]
     C = lr.shape[-1]
-    FH = g_ref.shape[-1]
-    D = (FH - H) // H
+    D = g_feat.shape[-1] // H
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
     ohT = iota_w == lr                                   # (W, C) bool
     ohTf = ohT.astype(jnp.float32)
-
-    g = g_ref[0]                                         # (C, H*D + H)
-    asrc = g[:, H * D:].astype(jnp.float32)              # (C, H)
+    g = g_feat
 
     # per-edge alpha_dst for every head + lane-claimed flag, in ONE NT
     # matmul: [ad | 1] selected through the one-hot (exact: each lane has
@@ -826,8 +859,8 @@ def _gat_packed_kernel(chunk_block_ref, lr_lane_ref, g_ref, ad_ref,
     expand = (col_head == head_row).astype(jnp.float32)  # (H, H*D)
     e_wide = jnp.dot(E, expand,
                      preferred_element_type=jnp.float32)  # (C, H*D)
-    rhs = (g[:, : H * D].astype(jnp.float32) * e_wide).astype(g_ref.dtype)
-    part = jnp.dot(ohT.astype(g_ref.dtype), rhs,
+    rhs = (g.astype(jnp.float32) * e_wide).astype(g.dtype)
+    part = jnp.dot(ohT.astype(g.dtype), rhs,
                    preferred_element_type=jnp.float32)   # (W, H*D)
     z_c = jnp.dot(ohTf, E,
                   preferred_element_type=jnp.float32)    # (W, H)
@@ -858,16 +891,29 @@ def gat_attend_blocked_packed(b: BlockedCsr, h: jax.Array,
                               alpha_src: jax.Array, alpha_dst: jax.Array, *,
                               negative_slope: float = 0.2,
                               compute_dtype=jnp.bfloat16,
+                              alpha_src_vec: jax.Array | None = None,
                               interpret: bool = False) -> jax.Array:
     """Head-packed one-kernel one-gather multi-head GAT (VERDICT r3 #5).
 
     Same semantics as :func:`gat_attend_blocked` (GATv1 additive logits,
     per-dst softmax, per-head weighted mean of projected source features,
-    /root/reference-parity GAT aggregation); same wide-gather layout as
-    :func:`gat_attend_blocked_flash` (alpha_src rides the feature gather)
-    but with the head-packed kernel that keeps every matmul full-width.
-    ``h``: (N, H, D); ``alpha_src``/``alpha_dst``: (N, H).  Returns
-    (num_rows, H, D) float32.
+    /root/reference-parity GAT aggregation), with the head-packed kernel
+    that keeps every matmul full-width.  ``h``: (N, H, D);
+    ``alpha_src``/``alpha_dst``: (N, H).  Returns (num_rows, H, D) f32.
+
+    Two gather layouts:
+    * default — ``alpha_src`` rides the feature gather as trailing
+      columns (works for ARBITRARY per-node source logits);
+    * ``alpha_src_vec`` given as the (H, D) GATv1 projection vector
+      (``alpha_src[i,h] == (h[i,h] * vec[h]).sum()``) — the gather stays
+      at the exactly-256-byte aligned (N, H*D)-bf16 row width and the
+      kernel recomputes per-edge alpha_src with one matmul.  Measured
+      (v5e): the gather engine's fast path exists ONLY at 256 B rows
+      (380 Macc/s; 264-512 B rows all drop to ~130), so this variant's
+      floor is 11.8 ms where the widened layout pays 34 ms at E=4.2M.
+      ``alpha_src`` is ignored in this mode (pass the table anyway for
+      API symmetry; exactness vs the table path is bounded by the bf16
+      rounding of the in-kernel projection).
     """
     N, H, D = h.shape
     W = b.rows_per_block
@@ -875,21 +921,44 @@ def gat_attend_blocked_packed(b: BlockedCsr, h: jax.Array,
     B = b.num_blocks
     assert C % 128 == 0 and W % 128 == 0
 
-    hw = jnp.concatenate(
-        [h.reshape(N, H * D).astype(compute_dtype),
-         alpha_src.astype(compute_dtype)], axis=-1)      # (N, H*D + H)
-    g = hw[b.edge_src]                                   # THE gather
     ad = _pad_dst(b, alpha_dst.astype(jnp.float32))      # (B*W, H)
     lr_lane = b.edge_local_row.reshape(T, 1, C)
+
+    if alpha_src_vec is not None:
+        hw = h.reshape(N, H * D).astype(compute_dtype)   # 256 B rows
+        g = hw[b.edge_src]                               # THE gather
+        # block-diagonal expansion of the (H, D) projection: (H*D, H)
+        avec = jnp.zeros((H * D, H), jnp.float32)
+        rows_i = jnp.arange(H * D)
+        avec = avec.at[rows_i, rows_i // D].set(
+            alpha_src_vec.astype(jnp.float32).reshape(-1))
+        in_specs = [
+            pl.BlockSpec((1, 1, C), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, C, H * D), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((W, H), lambda t, cb: (cb[t], 0)),
+            pl.BlockSpec((H * D, H), lambda t, cb: (0, 0)),
+        ]
+        kernel = functools.partial(_gat_packed_vec_kernel, heads=H,
+                                   negative_slope=negative_slope)
+        operands = (b.chunk_block, lr_lane, g, ad, avec)
+    else:
+        hw = jnp.concatenate(
+            [h.reshape(N, H * D).astype(compute_dtype),
+             alpha_src.astype(compute_dtype)], axis=-1)  # (N, H*D + H)
+        g = hw[b.edge_src]                               # THE gather
+        in_specs = [
+            pl.BlockSpec((1, 1, C), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((1, C, H * D + H), lambda t, cb: (t, 0, 0)),
+            pl.BlockSpec((W, H), lambda t, cb: (cb[t], 0)),
+        ]
+        kernel = functools.partial(_gat_packed_kernel, heads=H,
+                                   negative_slope=negative_slope)
+        operands = (b.chunk_block, lr_lane, g, ad)
 
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, 1, C), lambda t, cb: (t, 0, 0)),
-            pl.BlockSpec((1, C, H * D + H), lambda t, cb: (t, 0, 0)),
-            pl.BlockSpec((W, H), lambda t, cb: (cb[t], 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((W, H * D), lambda t, cb: (cb[t], 0)),
             pl.BlockSpec((W, H), lambda t, cb: (cb[t], 0)),
@@ -897,14 +966,13 @@ def gat_attend_blocked_packed(b: BlockedCsr, h: jax.Array,
         ],
     )
     out, _m, z = pl.pallas_call(
-        functools.partial(_gat_packed_kernel, heads=H,
-                          negative_slope=negative_slope),
+        kernel,
         grid_spec=grid,
         out_shape=[jax.ShapeDtypeStruct((B * W, H * D), jnp.float32),
                    jax.ShapeDtypeStruct((B * W, H), jnp.float32),
                    jax.ShapeDtypeStruct((B * W, H), jnp.float32)],
         interpret=interpret,
-    )(b.chunk_block, lr_lane, g, ad)
+    )(*operands)
     # FTZ-safe normalization (see gat_attend_blocked_flash)
     zc = z[..., None]
     att = jnp.where(zc > 0, out.reshape(B * W, H, D)

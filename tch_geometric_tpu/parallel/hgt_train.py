@@ -52,20 +52,27 @@ def make_hgt_trainer(
         tuple((t, int(node_counts[t])) for t in node_types),
     )
 
-    def sample_and_gather(key, seeds):
+    # graphs / x_tables / edge_timestamps enter the jitted step as PYTREE
+    # ARGUMENTS, never as closed-over constants: closing over them embeds
+    # the whole graph + feature table in the HLO, and the remote compile
+    # service rejects production-scale programs with HTTP 413 (the same
+    # lesson BASELINE.md records for the SAGE trainer; hit again at the
+    # 3x200k-node hetero-skew bench scale, round 4)
+    def sample_and_gather(key, seeds, graphs_, x_tables_, ts_):
         sample = _hgt_sampling_impl(
-            key, graphs, edge_timestamps, {seed_type: seeds}, None, meta)
+            key, graphs_, ts_, {seed_type: seeds}, None, meta)
         feats = {}
         for t in node_types:
             nodes = jnp.clip(sample.nodes[t], 0, node_counts[t] - 1)
-            xt = x_tables[t][nodes]
+            xt = x_tables_[t][nodes]
             feats[t] = jnp.where(sample.node_valid[t][:, None], xt, 0.0)
         edges = {r: (sample.rows[r], sample.cols[r], sample.edge_valid[r])
                  for r in sample.rows}
         return sample, feats, edges
 
-    def loss_fn(params, key, seeds, labels):
-        sample, feats, edges = sample_and_gather(key, seeds)
+    def loss_fn(params, key, seeds, labels, graphs_, x_tables_, ts_):
+        sample, feats, edges = sample_and_gather(key, seeds, graphs_,
+                                                 x_tables_, ts_)
         logits = model.apply(params, feats, edges)
         n = seeds.shape[0]
         loss = optax.softmax_cross_entropy_with_integer_labels(
@@ -73,19 +80,25 @@ def make_hgt_trainer(
         return loss, logits[:n]
 
     def init_fn(key, seeds):
-        _s, feats, edges = sample_and_gather(key, seeds)
+        _s, feats, edges = sample_and_gather(key, seeds, graphs, x_tables,
+                                             edge_timestamps)
         params = model.init(key, feats, edges)
         return HGTTrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
     @jax.jit
-    def train_step(state: HGTTrainState, key, seeds, labels):
+    def _train_step_impl(state: HGTTrainState, key, seeds, labels, graphs_,
+                         x_tables_, ts_):
         step_key = rng.fold(key, state.step)
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, step_key, seeds, labels)
+            state.params, step_key, seeds, labels, graphs_, x_tables_, ts_)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         acc = (logits.argmax(-1) == labels).mean()
         return HGTTrainState(params, opt_state, state.step + 1), loss, acc
+
+    def train_step(state: HGTTrainState, key, seeds, labels):
+        return _train_step_impl(state, key, seeds, labels, graphs, x_tables,
+                                edge_timestamps)
 
     return init_fn, train_step
 

@@ -334,6 +334,30 @@ def test_gat_packed_matches_composed():
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_gat_packed_vec_matches_table():
+    """The aligned-gather projection variant (alpha_src computed in-kernel
+    from the (H, D) GATv1 vector) matches the widened-table variant."""
+    from tch_geometric_tpu.ops.attention_blocked import (
+        gat_attend_blocked_packed)
+    from tch_geometric_tpu.ops.spmm_blocked import build_blocked
+    rng = np.random.default_rng(6)
+    N, E, H, D = 512, 4096, 4, 32
+    dst = np.sort(rng.integers(0, N, E))
+    src = rng.integers(0, N, E)
+    indptr = np.searchsorted(dst, np.arange(N + 1))
+    b = build_blocked(indptr, src.astype(np.int32), rows_per_block=128)
+    h = jnp.asarray(rng.normal(size=(N, H, D)).astype(np.float32))
+    vec = jnp.asarray(rng.normal(size=(H, D)).astype(np.float32))
+    a_s = (h * vec[None]).sum(-1)                     # the GATv1 projection
+    a_d = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    ref = np.asarray(gat_attend_blocked_packed(
+        b, h, a_s, a_d, compute_dtype=jnp.float32, interpret=True))
+    out = np.asarray(gat_attend_blocked_packed(
+        b, h, a_s, a_d, alpha_src_vec=vec, compute_dtype=jnp.float32,
+        interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_blocked_forward_hot_split_layouts():
     """GraphSAGE.blocked_forward accepts HotSplitCsr / HotSplitSeg and
     matches the plain blocked layout bit-for-bit (same float ops, only
