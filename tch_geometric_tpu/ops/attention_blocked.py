@@ -764,7 +764,7 @@ def gat_attend_blocked_flash(b: BlockedCsr, h: jax.Array,
 
 def _gat_packed_kernel(chunk_block_ref, lr_lane_ref, g_ref, ad_ref,
                        out_ref, m_ref, z_ref, *, heads: int,
-                       negative_slope: float):
+                       negative_slope: float, sel_prec=None):
     """HEAD-PACKED multi-head GAT flash attend: one traversal, one gather,
     and — unlike :func:`_gat_flash_kernel` — NO per-head (W, C) stat passes
     and NO skinny per-head (W, C)@(C, D) matmuls (the measured 2.6x loss of
@@ -793,12 +793,12 @@ def _gat_packed_kernel(chunk_block_ref, lr_lane_ref, g_ref, ad_ref,
     asrc = g[:, (g.shape[-1] - H):].astype(jnp.float32)  # (C, H)
     _gat_packed_core(lr_lane_ref, g[:, : g.shape[-1] - H], asrc, ad_ref,
                      out_ref, m_ref, z_ref, first, heads=heads,
-                     negative_slope=negative_slope)
+                     negative_slope=negative_slope, sel_prec=sel_prec)
 
 
 def _gat_packed_vec_kernel(chunk_block_ref, lr_lane_ref, g_ref, ad_ref,
                            avec_ref, out_ref, m_ref, z_ref, *, heads: int,
-                           negative_slope: float):
+                           negative_slope: float, sel_prec=None):
     """Projection variant: the gather stays at the ALIGNED (C, H*D) feature
     width and per-edge ``alpha_src`` is computed IN-KERNEL as the linear
     projection it is in GATv1 (``alpha_src[i] = sum_d h[i,h,d]*a[h,d]``)
@@ -817,13 +817,24 @@ def _gat_packed_vec_kernel(chunk_block_ref, lr_lane_ref, g_ref, ad_ref,
     asrc = jax.lax.dot_general(
         g.astype(jnp.float32), avec_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=sel_prec,
         preferred_element_type=jnp.float32)              # (C, H)
     _gat_packed_core(lr_lane_ref, g, asrc, ad_ref, out_ref, m_ref, z_ref,
-                     first, heads=heads, negative_slope=negative_slope)
+                     first, heads=heads, negative_slope=negative_slope,
+                     sel_prec=sel_prec)
 
 
 def _gat_packed_core(lr_lane_ref, g_feat, asrc, ad_ref, out_ref, m_ref,
-                     z_ref, first, *, heads: int, negative_slope: float):
+                     z_ref, first, *, heads: int, negative_slope: float,
+                     sel_prec=None):
+    """``sel_prec``: precision for every matmul that implements a SELECT
+    or a stat over f32 values.  TPU f32 dot_generals default to
+    bf16-precision MXU passes — the on-chip gates caught this as
+    1e-2-level divergence (interpret computes true f32 and cannot see
+    it).  f32 compute_dtype passes HIGHEST (exactness mode; needs a
+    raised scoped-VMEM limit at wide-chunk layouts); bf16 compute passes
+    DEFAULT (select error is inside the bf16 rounding the caller already
+    accepted, and DEFAULT keeps the fast path fast)."""
     H = heads
     lr = lr_lane_ref[0]                                  # (1, C)
     W = ad_ref.shape[0]
@@ -841,6 +852,7 @@ def _gat_packed_core(lr_lane_ref, g_feat, asrc, ad_ref, out_ref, m_ref,
         [ad_ref[:], jnp.ones((W, 1), jnp.float32)], axis=1)   # (W, H+1)
     sel = jax.lax.dot_general(
         ohTf, adw, dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=sel_prec,
         preferred_element_type=jnp.float32)              # (C, H+1)
     ad_e = sel[:, :H]
     claimed = sel[:, H:]                                 # (C, 1)
@@ -857,12 +869,12 @@ def _gat_packed_core(lr_lane_ref, g_feat, asrc, ad_ref, out_ref, m_ref,
     col_head = jax.lax.broadcasted_iota(jnp.int32, (H, H * D), 1) // D
     head_row = jax.lax.broadcasted_iota(jnp.int32, (H, H * D), 0)
     expand = (col_head == head_row).astype(jnp.float32)  # (H, H*D)
-    e_wide = jnp.dot(E, expand,
+    e_wide = jnp.dot(E, expand, precision=sel_prec,
                      preferred_element_type=jnp.float32)  # (C, H*D)
     rhs = (g.astype(jnp.float32) * e_wide).astype(g.dtype)
-    part = jnp.dot(ohT.astype(g.dtype), rhs,
+    part = jnp.dot(ohT.astype(g.dtype), rhs, precision=sel_prec,
                    preferred_element_type=jnp.float32)   # (W, H*D)
-    z_c = jnp.dot(ohTf, E,
+    z_c = jnp.dot(ohTf, E, precision=sel_prec,
                   preferred_element_type=jnp.float32)    # (W, H)
     m_c = jnp.broadcast_to(M, (W, H))
 
@@ -878,9 +890,9 @@ def _gat_packed_core(lr_lane_ref, g_feat, asrc, ad_ref, out_ref, m_ref,
         m_new = jnp.maximum(m_old, m_c)
         r_old = jnp.exp(m_old - m_new)                   # (W, H)
         r_c = jnp.exp(m_c - m_new)
-        r_old_w = jnp.dot(r_old, expand,
+        r_old_w = jnp.dot(r_old, expand, precision=sel_prec,
                           preferred_element_type=jnp.float32)
-        r_c_w = jnp.dot(r_c, expand,
+        r_c_w = jnp.dot(r_c, expand, precision=sel_prec,
                         preferred_element_type=jnp.float32)
         out_ref[:] = out_ref[:] * r_old_w + part * r_c_w
         m_ref[:] = m_new
@@ -923,6 +935,14 @@ def gat_attend_blocked_packed(b: BlockedCsr, h: jax.Array,
 
     ad = _pad_dst(b, alpha_dst.astype(jnp.float32))      # (B*W, H)
     lr_lane = b.edge_local_row.reshape(T, 1, C)
+    # exactness mode (f32): HIGHEST-precision select matmuls + a raised
+    # scoped-VMEM limit (the extra f32 passes need >16 MB at wide-chunk
+    # layouts); production bf16 keeps DEFAULT precision (select error is
+    # within the bf16 rounding already accepted) and the default limits
+    exact = jnp.dtype(compute_dtype) == jnp.dtype(jnp.float32)
+    sel_prec = jax.lax.Precision.HIGHEST if exact else None
+    compiler_params = (pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024) if exact else None)
 
     if alpha_src_vec is not None:
         hw = h.reshape(N, H * D).astype(compute_dtype)   # 256 B rows
@@ -939,7 +959,8 @@ def gat_attend_blocked_packed(b: BlockedCsr, h: jax.Array,
             pl.BlockSpec((H * D, H), lambda t, cb: (0, 0)),
         ]
         kernel = functools.partial(_gat_packed_vec_kernel, heads=H,
-                                   negative_slope=negative_slope)
+                                   negative_slope=negative_slope,
+                                   sel_prec=sel_prec)
         operands = (b.chunk_block, lr_lane, g, ad, avec)
     else:
         hw = jnp.concatenate(
@@ -952,7 +973,8 @@ def gat_attend_blocked_packed(b: BlockedCsr, h: jax.Array,
             pl.BlockSpec((W, H), lambda t, cb: (cb[t], 0)),
         ]
         kernel = functools.partial(_gat_packed_kernel, heads=H,
-                                   negative_slope=negative_slope)
+                                   negative_slope=negative_slope,
+                                   sel_prec=sel_prec)
         operands = (b.chunk_block, lr_lane, g, ad)
 
     grid = pltpu.PrefetchScalarGridSpec(
@@ -972,6 +994,8 @@ def gat_attend_blocked_packed(b: BlockedCsr, h: jax.Array,
                    jax.ShapeDtypeStruct((B * W, H), jnp.float32),
                    jax.ShapeDtypeStruct((B * W, H), jnp.float32)],
         interpret=interpret,
+        **({} if compiler_params is None
+           else {"compiler_params": compiler_params}),
     )(*operands)
     # FTZ-safe normalization (see gat_attend_blocked_flash)
     zc = z[..., None]

@@ -59,6 +59,21 @@ def run_kernel_gates(compute_dtype=jnp.float32,
     tests of this harness itself — it defeats the purpose of the gate
     (catching real-Mosaic divergence) and must stay False on hardware.
     """
+    # f32 exactness mode: TPU dots DEFAULT to bf16-precision MXU passes
+    # even on f32 operands — every kernel's and reference's unannotated
+    # matmul is traced under highest precision so the f32 gate checks TRUE
+    # f32 math (this is how the round-4 gate caught the packed-GAT select
+    # matmuls silently computing at bf16 on hardware).  The bf16 pass uses
+    # the production default.
+    import contextlib
+    prec_ctx = (jax.default_matmul_precision("highest")
+                if jnp.dtype(compute_dtype) == jnp.dtype(jnp.float32)
+                else contextlib.nullcontext())
+    with prec_ctx:
+        return _run_kernel_gates_inner(compute_dtype, n, e, interpret)
+
+
+def _run_kernel_gates_inner(compute_dtype, n, e, interpret):
     from ..ops.attention_blocked import (attend_blocked_flash,
                                          gat_attend_blocked,
                                          gat_attend_blocked_flash,
