@@ -124,6 +124,46 @@ for cfg in [c for c in cfgs.split(",") if c]:
               f"{1/dt2:.1f} minibatches/s", flush=True)
 
 # --------------------------------------------------------------------------
+# Round-4: M-fused multibatch partitioned trainer (one M*B-seed tree per
+# step; exchanges + halo amortize over M like the replicated multibatch's
+# 20.9 -> 10.3 ms/minibatch)
+# --------------------------------------------------------------------------
+if os.environ.get("PART_MULTIBATCH"):
+    from tch_geometric_tpu.parallel.dist_sampling import (
+        make_partitioned_multibatch_trainer)
+    M = int(os.environ.get("PART_M", "8"))
+    init_fn, train_step = make_partitioned_multibatch_trainer(
+        model, [15, 10, 5], mesh, learning_rate=1e-3, capacity_factor=1.3)
+    with mesh:
+        sh = NamedSharding(mesh, P("data"))
+        sh2 = NamedSharding(mesh, P(None, "data"))
+        g_d = jax.device_put(pg, sh)
+        xi_d = jax.device_put(jnp.asarray(xi), sh)
+        seeds = jax.device_put(
+            jnp.arange(M * B, dtype=jnp.int32).reshape(M, B), sh2)
+        lab = jax.device_put(labels[:M * B].reshape(M, B), sh2)
+        key = jax.random.key(0)
+        t0 = time.time()
+        state = init_fn(key, g_d, xi_d, seeds)
+        state, losses, accs, ovf = train_step(state, key, g_d, xi_d, seeds,
+                                              lab)
+        float(np.asarray(losses)[-1])
+        print(f"multibatch init+compile: {time.time()-t0:.0f}s "
+              f"overflow={int(ovf)}", flush=True)
+        K = 10
+        outs = []
+        t0 = time.perf_counter()
+        for _ in range(K):
+            _s, losses, accs, ovf = train_step(state, key, g_d, xi_d,
+                                               seeds, lab)
+            outs.append(losses)
+        float(np.asarray(outs[-1])[-1])
+        dt = (time.perf_counter() - t0) / K / M
+        print(f"multibatch partitioned step (M={M}): {dt*1e3:.1f} "
+              f"ms/minibatch -> {1/dt:.1f} minibatches/s  "
+              f"overflow={int(ovf)}", flush=True)
+
+# --------------------------------------------------------------------------
 # BASELINE config 5 sampler family at products scale: budget sampling +
 # CTDNE temporal walks over the SAME partitioned topology, with the routing
 # overflow RATE reported at the default capacity factor (VERDICT item 6:

@@ -8,7 +8,9 @@ from .resilience import barrier, inject_shard_fault, shard_checksums
 from .sharded_features import (build_interleaved_features, halo_gather,
                                make_sharded_feature_trainer)
 from .dist_sampling import (PartitionedGraph, build_partitioned_graph,
-                            dist_sample_neighbors, make_partitioned_trainer)
+                            dist_sample_neighbors,
+                            make_partitioned_multibatch_trainer,
+                            make_partitioned_trainer)
 from .dist_walks import (dist_biased_tempo_random_walk, dist_random_walk,
                          dist_tempo_random_walk, effective_edge_ts)
 from .dist_budget import (dist_budget_sample,

@@ -611,12 +611,21 @@ def _dist_sample_device(key, graph_shard, seeds_local, *, dev,
                         total_seeds: int, capacity_factor: float,
                         with_replacement: bool, weighted: bool = False,
                         filter_static=None, seed_state=None,
-                        window: int = 256, num_rounds: int = 1):
+                        window: int = 256, num_rounds: int = 1,
+                        seed_gidx=None):
     """Multi-hop distributed sampling for one device's seed shard.
 
     Mirrors ``_sample_neighbors_impl``'s slot arithmetic; draws are keyed by
     the GLOBAL tree slot uid so the result is device-count independent.
     Returns (NeighborSample, overflow scalar).
+
+    ``seed_gidx`` (optional, (B0,) int32): each local seed's index within
+    the GLOBAL seed batch.  Defaults to the contiguous split
+    ``dev*B0 + arange`` (the single-batch trainers); the multibatch
+    trainer passes the interleaved layout's true indices so its draws
+    stay device-count invariant too.  Child global indices follow the
+    tree recurrence ``g_child = g_parent*k + j``, which reproduces the
+    contiguous case bit-exactly.
     """
     B0 = seeds_local.shape[0]
     node_base, edge_base = _layer_layout(B0, fanouts)
@@ -635,13 +644,13 @@ def _dist_sample_device(key, graph_shard, seeds_local, *, dev,
     overflow = jnp.zeros((), jnp.int32)
 
     L = B0          # per-device frontier size at the current hop
+    gidx = (dev * B0 + jnp.arange(B0, dtype=jnp.int32)
+            if seed_gidx is None else seed_gidx.astype(jnp.int32))
     for ell, k in enumerate(fanouts):
         frontier, fvalid, fstate = nodes[ell], valids[ell], states[ell]
         # global slot uid of each frontier occurrence (device-count
-        # independent: dev * L + i is the node's index within the global
-        # layer because the seed batch is split contiguously)
-        fuid = (gnode_base[ell] + dev * L
-                + jnp.arange(L, dtype=jnp.int32))
+        # independent: gidx is the node's index within the global layer)
+        fuid = gnode_base[ell] + gidx
         # per-(requester, owner) request capacity; expected load is L / P
         capacity = max(1, min(int(np.ceil(capacity_factor * L / num_parts)),
                               L))
@@ -664,6 +673,8 @@ def _dist_sample_device(key, graph_shard, seeds_local, *, dev,
         cols.append(jnp.broadcast_to(col, (L, k)).reshape(-1))
         eptrs.append(eptr.reshape(-1))
         evalids.append(valid.reshape(-1))
+        gidx = (gidx[:, None] * k
+                + jnp.arange(k, dtype=jnp.int32)[None, :]).reshape(-1)
         L = L * k
 
     sample = NeighborSample(
@@ -945,3 +956,144 @@ def make_partitioned_trainer(
                                _ts_or_zeros(seed_ts, seeds))
 
     return init_fn, train_step, eval_step
+
+
+def make_partitioned_multibatch_trainer(
+    model,
+    fanouts: Sequence[int],
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    learning_rate: float = 1e-2,
+    with_replacement: bool = False,
+    window: int = 256,
+    capacity_factor: float = 1.3,
+    num_rounds: int = 1,
+    exchange_dtype=None,
+):
+    """Fully partitioned trainer that fuses M minibatches per jitted step.
+
+    The partitioned analogue of ``train.make_multibatch_sage_trainer``:
+    one step samples ALL M minibatches as a single M*B-seed distributed
+    tree (every routed exchange and the halo feature fetch amortize over
+    M — minibatch-scale gathers and all_to_alls are latency-bound, the
+    measured reason the replicated multibatch runs 20.9 -> 10.3
+    ms/minibatch at products scale), splits it into M per-batch trees
+    with :func:`~..sampling.neighbor.split_sample_batches` (pure
+    reshapes), and scans M sequential forward/backward/adam updates with
+    per-update gradient pmean.  Draws follow the same law as M
+    independent steps but slot uids (hence exact draws) differ — the
+    trade documented on split_sample_batches.
+
+    ``train_step(state, key, graph, x_sharded, seeds (M, B), labels
+    (M, B)) -> (state, losses (M,), accs (M,), overflow)``; seeds/labels
+    shard their B axis over the mesh.
+    """
+    from ..sampling.neighbor import split_sample_batches
+
+    tree_forward = type(model).tree_forward
+    fanouts = tuple(int(k) for k in fanouts)
+    tx = optax.adam(learning_rate)
+    num_parts = int(mesh.shape[axis])
+
+    def _sample_gather_split(key, gshard, x_shard, seeds_local, dev):
+        M, Bp = seeds_local.shape
+        flat = seeds_local.reshape(-1)
+        total_seeds = flat.shape[0] * num_parts
+        # each local seed's index in the GLOBAL (M, B) batch: batch m's
+        # device-d stripe sits at m*B + d*Bp — passing the true indices
+        # keeps draws device-count invariant despite the interleaving
+        B_global = Bp * num_parts
+        gidx = (jnp.arange(M, dtype=jnp.int32)[:, None] * B_global
+                + dev * Bp
+                + jnp.arange(Bp, dtype=jnp.int32)[None, :]).reshape(-1)
+        sample, s_ovf = _dist_sample_device(
+            key, gshard, flat, dev=dev, fanouts=fanouts, axis=axis,
+            num_parts=num_parts, total_seeds=total_seeds,
+            capacity_factor=capacity_factor,
+            with_replacement=with_replacement, seed_state=None,
+            window=window, num_rounds=num_rounds, seed_gidx=gidx)
+        n_rows = x_shard.shape[0] * num_parts
+        ids = jnp.clip(sample.nodes, 0, n_rows - 1)
+        capacity = int(np.ceil(capacity_factor * ids.shape[0] / num_parts))
+        capacity = min(capacity, ids.shape[0])
+        if exchange_dtype is not None:
+            x_shard = x_shard.astype(exchange_dtype)
+        x, f_ovf = halo_gather(x_shard, ids, axis=axis,
+                               num_parts=num_parts, capacity=capacity,
+                               valid=sample.node_valid,
+                               num_rounds=num_rounds)
+        split, xs = split_sample_batches(sample, M, x)
+        return split, xs, s_ovf + f_ovf
+
+    repl, shard = P(), P(axis)
+    shard2 = P(None, axis)
+
+    def init_fn(key, graph, x_sharded, seeds):
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(repl, shard, shard, shard2),
+                           out_specs=repl)
+        def _init(key, gshard, x_shard, seeds_local):
+            dev = jax.lax.axis_index(axis)
+            split, xs, _ = _sample_gather_split(key, gshard, x_shard,
+                                                seeds_local, dev)
+            one = jax.tree_util.tree_map(
+                lambda a: a[0] if hasattr(a, "ndim") else a, split)
+            params = model.init(key, one, xs[0], method=tree_forward)
+            return jax.lax.pmean(params, axis)
+
+        params = _init(key, graph, x_sharded, seeds)
+        return TrainState(params=params, opt_state=tx.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    @jax.jit
+    def train_step(state, key, graph, x_sharded, seeds, labels):
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(repl, repl, repl, repl, shard, shard, shard2, shard2),
+            out_specs=(repl, repl, repl, repl, repl))
+        def _step(params, opt_state, step, key, gshard, x_shard,
+                  seeds_local, labels_local):
+            dev = jax.lax.axis_index(axis)
+            k = rng.fold(key, step)
+            split, xs, ovf = _sample_gather_split(k, gshard, x_shard,
+                                                  seeds_local, dev)
+
+            def one_update(carry, inp):
+                p, opt = carry
+                m, sample_m, x_m, labels_m = inp
+
+                def loss_fn(p):
+                    logits = model.apply(
+                        p, sample_m, x_m, deterministic=False,
+                        rngs={"dropout": rng.fold(k, m,
+                                                  rng.DROPOUT_STREAM)},
+                        method=tree_forward)
+                    loss = optax.softmax_cross_entropy_with_integer_labels(
+                        logits, labels_m).mean()
+                    return loss, logits
+
+                (loss, logits), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(p)
+                grads = jax.lax.pmean(grads, axis)
+                loss = jax.lax.pmean(loss, axis)
+                acc = jax.lax.pmean(
+                    (logits.argmax(-1) == labels_m).mean(), axis)
+                updates, opt = tx.update(grads, opt, p)
+                p = optax.apply_updates(p, updates)
+                return (p, opt), (loss, acc)
+
+            M = seeds_local.shape[0]
+            (params, opt_state), (losses, accs) = jax.lax.scan(
+                one_update, (params, opt_state),
+                (jnp.arange(M, dtype=jnp.uint32), split, xs, labels_local))
+            overflow = jax.lax.psum(ovf, axis)
+            return params, opt_state, losses, accs, overflow
+
+        params, opt_state, losses, accs, overflow = _step(
+            state.params, state.opt_state, state.step, key, graph,
+            x_sharded, seeds, labels)
+        return (TrainState(params, opt_state, state.step + 1),
+                losses, accs, overflow)
+
+    return init_fn, train_step

@@ -412,6 +412,71 @@ def sample_neighbors(
 # Host compaction: reference-parity output format
 # ---------------------------------------------------------------------------
 
+def split_sample_batches(sample: NeighborSample, M: int,
+                         x: Optional[jax.Array] = None):
+    """Split a ``B0 = M*B``-seed sampled tree into M independent per-batch
+    trees — pure reshapes + static rebasing, ZERO gathers.
+
+    The tree layout makes this free: layer ``l`` is contiguous and ordered
+    by seed, and hop ``l``'s edges are ordered by parent slot, so batch
+    ``m``'s share of every layer/edge block is the contiguous ``m``-th
+    stripe; ``rows``/``cols`` rebase by a per-layer constant shift.
+
+    The point (measured, BASELINE.md): minibatch-scale random gathers are
+    access-LATENCY-bound — sampling + feature-fetching M batches as one
+    fused program amortizes them (the replicated multibatch trainer's
+    20.9 -> 10.3 ms/minibatch), and for the partitioned trainer it also
+    amortizes every all_to_all exchange round trip.  Draws differ from M
+    independent B-seed calls (slot uids differ) but follow the same law.
+
+    Returns a ``NeighborSample`` whose arrays carry a leading ``(M, ...)``
+    axis (scan/vmap-ready) with the B-seed ``node_base``/``edge_base``;
+    with ``x`` (N_total, F), also returns it split as (M, n_m, F).
+    """
+    nb, eb = sample.node_base, sample.edge_base
+    fanouts = sample.fanouts
+    B0 = nb[1]
+    assert B0 % M == 0, (B0, M)
+    nb_m, eb_m = _layer_layout(B0 // M, fanouts)
+
+    def split_n(a, extra=()):
+        parts = []
+        for ell in range(len(nb) - 1):
+            span = nb[ell + 1] - nb[ell]
+            parts.append(a[nb[ell]: nb[ell + 1]].reshape(
+                (M, span // M) + extra))
+        return jnp.concatenate(parts, axis=1)
+
+    def split_e(a):
+        parts = []
+        for ell in range(len(eb) - 1):
+            span = eb[ell + 1] - eb[ell]
+            parts.append(a[eb[ell]: eb[ell + 1]].reshape(M, span // M))
+        return jnp.concatenate(parts, axis=1)
+
+    m_ix = jnp.arange(M, dtype=jnp.int32)[:, None]
+    rows_p, cols_p = [], []
+    for ell, k in enumerate(fanouts):
+        ps = (nb[ell + 1] - nb[ell]) // M       # parents per batch
+        blk = slice(eb[ell], eb[ell + 1])
+        r = sample.rows[blk].reshape(M, ps * k)
+        rows_p.append(r - nb[ell + 1] - m_ix * (ps * k) + nb_m[ell + 1])
+        c = sample.cols[blk].reshape(M, ps * k)
+        cols_p.append(c - nb[ell] - m_ix * ps + nb_m[ell])
+    out = NeighborSample(
+        nodes=split_n(sample.nodes),
+        node_valid=split_n(sample.node_valid),
+        node_state=split_n(sample.node_state),
+        rows=jnp.concatenate(rows_p, axis=1),
+        cols=jnp.concatenate(cols_p, axis=1),
+        eptr=split_e(sample.eptr),
+        edge_valid=split_e(sample.edge_valid),
+        node_base=nb_m, edge_base=eb_m, fanouts=fanouts)
+    if x is None:
+        return out
+    return out, split_n(x, extra=x.shape[1:])
+
+
 def compact_sample(sample: NeighborSample):
     """Padded device sample -> compact reference-format arrays.
 

@@ -445,3 +445,50 @@ def test_partitioned_trainer_bf16_exchange_invariance():
         results[Pn] = losses
     np.testing.assert_allclose(results[1], results[4], rtol=1e-5)
     assert results[1][-1] < results[1][0]
+
+
+@pytest.mark.slow
+def test_partitioned_multibatch_trainer_invariance():
+    """The M-fused partitioned trainer trains, and its loss trajectory is
+    device-count invariant (draws keyed by true global seed indices even
+    under the interleaved (M, B/P) layout)."""
+    from tch_geometric_tpu.parallel.dist_sampling import (
+        make_partitioned_multibatch_trainer)
+    x_np, y, edge_index = load_karate_graph()
+    col_ptrs, row_indices, _perm = to_csc(np.asarray(edge_index), 34)
+    labels = jnp.asarray(y)
+    model = GraphSAGE(hidden=16, out=int(y.max()) + 1, num_layers=2)
+    M, B = 2, 16
+    results = {}
+    for Pn in (1, 2):
+        g = build_partitioned_graph(np.asarray(col_ptrs),
+                                    np.asarray(row_indices), Pn)
+        mesh = _mesh(Pn)
+        init_fn, train_step = make_partitioned_multibatch_trainer(
+            model, [4, 3], mesh, learning_rate=1e-2, capacity_factor=8.0)
+        with mesh:
+            data_sh = NamedSharding(mesh, P("data"))
+            sh2 = NamedSharding(mesh, P(None, "data"))
+            gput = jax.device_put(g, data_sh)
+            xi = jax.device_put(
+                jnp.asarray(build_interleaved_features(np.asarray(x_np),
+                                                       Pn)), data_sh)
+            seeds = jax.device_put(
+                jnp.arange(M * B, dtype=jnp.int32).reshape(M, B) % 34, sh2)
+            lab = jax.device_put(labels[jnp.arange(M * B).reshape(M, B)
+                                        % 34], sh2)
+            key = jax.random.key(0)
+            state = init_fn(key, gput, xi, seeds)
+            traj = []
+            for s in range(8):
+                state, losses, accs, ovf = train_step(
+                    state, jax.random.fold_in(key, s), gput, xi, seeds,
+                    lab)
+                traj.append(np.asarray(losses))
+            assert int(ovf) == 0
+            results[Pn] = np.stack(traj)
+    # same law AND same draws: trajectories match to psum rounding
+    np.testing.assert_allclose(results[1], results[2], rtol=2e-4,
+                               atol=2e-4)
+    # it actually learns
+    assert results[1][-1].mean() < results[1][0].mean()
