@@ -150,18 +150,22 @@ if os.environ.get("PART_MULTIBATCH"):
         float(np.asarray(losses)[-1])
         print(f"multibatch init+compile: {time.time()-t0:.0f}s "
               f"overflow={int(ovf)}", flush=True)
+        # TWO timed trials: the first absorbs residual async work from
+        # init/compile (measured: 282 ms vs 46 ms for identical binaries
+        # at arxiv scale); the second is the steady state
         K = 10
-        outs = []
-        t0 = time.perf_counter()
-        for _ in range(K):
-            _s, losses, accs, ovf = train_step(state, key, g_d, xi_d,
-                                               seeds, lab)
-            outs.append(losses)
-        float(np.asarray(outs[-1])[-1])
-        dt = (time.perf_counter() - t0) / K / M
-        print(f"multibatch partitioned step (M={M}): {dt*1e3:.1f} "
-              f"ms/minibatch -> {1/dt:.1f} minibatches/s  "
-              f"overflow={int(ovf)}", flush=True)
+        for trial in range(2):
+            outs = []
+            t0 = time.perf_counter()
+            for _ in range(K):
+                _s, losses, accs, ovf = train_step(state, key, g_d, xi_d,
+                                                   seeds, lab)
+                outs.append(losses)
+            float(np.asarray(outs[-1])[-1])
+            dt = (time.perf_counter() - t0) / K / M
+            print(f"multibatch partitioned step (M={M}, trial {trial}): "
+                  f"{dt*1e3:.1f} ms/minibatch -> {1/dt:.1f} minibatches/s  "
+                  f"overflow={int(ovf)}", flush=True)
 
 # --------------------------------------------------------------------------
 # BASELINE config 5 sampler family at products scale: budget sampling +
