@@ -46,7 +46,8 @@ from ..sampling.budget import MAX_NEIGHBORS
 from ..sampling.neighbor import NeighborSample, _layer_layout, _select_lanes
 from ..utils.types import NAN_TIMESTAMP
 from .dist_sampling import (PartitionedGraph, _uid_floyd, _uid_keys,
-                            _uid_uniform_lane_topk, exchange_rounds)
+                            _uid_uniform_lane_topk, exchange_rounds,
+                            resolve_num_rounds)
 
 NEG_INF = float("-inf")  # python literal: package import must not
 #   create device arrays (jax.distributed.initialize needs an
@@ -425,7 +426,7 @@ def dist_budget_sample_hetero(key, rels, edge_types, inputs, num_neighbors,
                               forward: bool = False, relative: bool = False,
                               node_types=None, axis: str = "data",
                               capacity_factor: float = 2.0,
-                              num_rounds: int = 1):
+                              num_rounds: Optional[int] = None):
     """TYPED distributed budget sampling (budget_sampling.rs:155-265 over a
     partition).  ``rels`` from :func:`~.dist_hgt.build_partitioned_hetero`;
     other args mirror :func:`~..sampling.budget.sample_budget`.  Per-type
@@ -453,7 +454,8 @@ def dist_budget_sample_hetero(key, rels, edge_types, inputs, num_neighbors,
             tuple((t, tuple(int(x) for x in num_neighbors[t]))
                   for t in node_types),
             tuple(sorted(num_seeds.items())), int(num_hops), filter_static,
-            float(capacity_factor), int(num_rounds), Pn)
+            float(capacity_factor), resolve_num_rounds(num_rounds, Pn),
+            Pn)
 
     seeds_ts = {}
     for t in node_types:
@@ -501,7 +503,8 @@ def dist_budget_sample(key, graph: PartitionedGraph, seeds, fanouts,
                        input_timestamps=None,
                        window: Optional[Tuple[int, int]] = None,
                        forward: bool = False, relative: bool = False,
-                       capacity_factor: float = 1.3, num_rounds: int = 1):
+                       capacity_factor: float = 1.3,
+                       num_rounds: Optional[int] = None):
     """Distributed homogeneous budget sampling (public entry point).
 
     ``fanouts[ell]`` = candidates drawn per frontier node at hop ell (the
@@ -533,7 +536,8 @@ def dist_budget_sample(key, graph: PartitionedGraph, seeds, fanouts,
                else jnp.asarray(input_timestamps, jnp.int32))
 
     run = _dist_budget_fn(mesh, axis, Pn, B, fanouts, filter_static,
-                          float(capacity_factor), int(num_rounds))
+                          float(capacity_factor),
+                          resolve_num_rounds(num_rounds, Pn))
     from .multihost import put_partitioned
     with mesh:
         return run(key, put_partitioned(graph, mesh, P(axis)),

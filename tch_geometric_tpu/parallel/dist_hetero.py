@@ -34,7 +34,8 @@ from ..sampling import rng
 from ..sampling.hetero_neighbor import HeteroLayout
 from ..utils.config import TemporalEdgeFilter
 from ..utils.types import NAN_TIMESTAMP, rel_key
-from .dist_sampling import _owner_sample, exchange_rounds
+from .dist_sampling import (_owner_sample, exchange_rounds,
+                            resolve_num_rounds)
 
 NEG_INF = float("-inf")
 
@@ -165,7 +166,8 @@ def dist_hetero_neighbor_sample(key, rels, edge_types, inputs, num_neighbors,
                                 filter: Optional[tuple] = None,
                                 node_types=None, axis: str = "data",
                                 capacity_factor: float = 2.0,
-                                num_rounds: int = 1, window: int = 256):
+                                num_rounds: Optional[int] = None,
+                                window: int = 256):
     """Typed distributed neighbor sampling (public entry point).
 
     ``rels`` from :func:`~.dist_hgt.build_partitioned_hetero` (build with
@@ -200,8 +202,8 @@ def dist_hetero_neighbor_sample(key, rels, edge_types, inputs, num_neighbors,
             tuple(sorted(num_seeds.items())), int(num_hops),
             bool(with_replacement),
             tuple((r, r in weighted) for r, _s, _d in rel_specs),
-            filter_static, float(capacity_factor), int(num_rounds),
-            int(window), Pn)
+            filter_static, float(capacity_factor),
+            resolve_num_rounds(num_rounds, Pn), int(window), Pn)
 
     seeds_ts = {}
     for t in node_types:

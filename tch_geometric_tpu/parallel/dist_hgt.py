@@ -51,7 +51,8 @@ from ..sampling.neighbor import _select_lanes
 from ..utils.types import NAN_TIMESTAMP, rel_key
 from .dist_sampling import (PartitionedGraph, _route_to_owners, _uid_floyd,
                             _uid_keys, _uid_uniform_lane_topk,
-                            build_partitioned_graph, exchange_rounds)
+                            build_partitioned_graph, exchange_rounds,
+                            resolve_num_rounds)
 
 NEG_INF = float("-inf")
 SCORE_ONE = 1 << 14   # fixed-point unit: contribution = SCORE_ONE // deg_cap
@@ -400,7 +401,7 @@ def dist_hgt_sample(key, rels: Dict[str, PartitionedGraph], edge_types,
                     timerange: Optional[Tuple[int, int]] = None,
                     node_types: Optional[Sequence[str]] = None,
                     axis: str = "data", capacity_factor: float = 2.0,
-                    num_rounds: int = 1):
+                    num_rounds: Optional[int] = None):
     """Distributed HGT sampling (public entry point).
 
     Inputs mirror :func:`~..sampling.hgt.sample_hgt`; ``rels`` from
@@ -441,7 +442,7 @@ def dist_hgt_sample(key, rels: Dict[str, PartitionedGraph], edge_types,
                                             int(timerange[1])),
             tuple((t, int(node_counts[t])) for t in node_types),
             tuple(sorted(seed_caps.items())), float(capacity_factor),
-            int(num_rounds), Pn)
+            resolve_num_rounds(num_rounds, Pn), Pn)
 
     run = _dist_hgt_fn(mesh, axis, meta)
     from .multihost import put_partitioned

@@ -26,6 +26,7 @@ as every other distributed sampler here).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +35,8 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..sampling import rng
-from .dist_sampling import PartitionedGraph, _uid_keys, exchange_rounds
+from .dist_sampling import (PartitionedGraph, _uid_keys, exchange_rounds,
+                            resolve_num_rounds)
 from .dist_walks import _capacity
 
 
@@ -148,7 +150,8 @@ def _dist_negative_device(key, g: PartitionedGraph, inputs_local, *, dev,
 def dist_negative_sample(key, graph: PartitionedGraph, inputs, num_neg: int,
                          try_count: int, mesh: Mesh, *,
                          inbound: bool = False, axis: str = "data",
-                         capacity_factor: float = 1.3, num_rounds: int = 1):
+                         capacity_factor: float = 1.3,
+                         num_rounds: Optional[int] = None):
     """Distributed negative sampling (negative_sampling.rs:6-48 over a
     partition).
 
@@ -170,7 +173,7 @@ def dist_negative_sample(key, graph: PartitionedGraph, inputs, num_neg: int,
     assert B % Pn == 0, (B, Pn)
     run = _dist_negative_fn(mesh, axis, Pn, int(num_neg), int(try_count),
                             bool(inbound), float(capacity_factor),
-                            int(num_rounds))
+                            resolve_num_rounds(num_rounds, Pn))
     from .multihost import put_partitioned
     with mesh:
         return run(key, put_partitioned(graph, mesh, P(axis)),
@@ -293,7 +296,7 @@ def dist_negative_sample_hetero(key, rels, edge_types, inputs, num_neg: int,
                                 node_counts, inbound: bool = False,
                                 axis: str = "data",
                                 capacity_factor: float = 1.3,
-                                num_rounds: int = 1):
+                                num_rounds: Optional[int] = None):
     """Typed distributed negative sampling (negative_sampling.rs:50-131
     over a partition).
 
@@ -330,7 +333,7 @@ def dist_negative_sample_hetero(key, rels, edge_types, inputs, num_neg: int,
         assert vv.shape[0] % Pn == 0, (t, vv.shape, Pn)
     meta = (tuple(node_types), type_rels, dst_counts, int(num_neg),
             int(try_count), bool(inbound), float(capacity_factor),
-            int(num_rounds), Pn)
+            resolve_num_rounds(num_rounds, Pn), Pn)
     run = _dist_negative_hetero_fn(mesh, axis, meta)
     from .multihost import put_partitioned
     with mesh:

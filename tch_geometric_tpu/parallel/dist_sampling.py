@@ -312,6 +312,20 @@ def _route_to_owners(owner, valid, num_parts: int, capacity: int) -> _Router:
     return _Router(rank, ok, scatter, pickup, in_round, None)
 
 
+def resolve_num_rounds(num_rounds, num_parts: int) -> int:
+    """Auto ``num_rounds`` default for distributed entry points.
+
+    ``None`` resolves to 1 at P==1 (the identity routing plan caps the
+    exchange at one round, so rounds 1 and 2 trace to byte-identical HLO)
+    and 2 at P>1, so an overflowing frontier is retried rather than
+    silently dropped under the default configuration.  Draws are keyed by
+    request uid, so outputs are invariant to which round carried a request.
+    """
+    if num_rounds is None:
+        return 1 if int(num_parts) == 1 else 2
+    return int(num_rounds)
+
+
 def exchange_rounds(payload, owner, valid, owner_fn, *, axis: str,
                     num_parts: int, capacity: int, num_rounds: int = 1,
                     ret_cols: int = 1):
@@ -695,7 +709,8 @@ def dist_sample_neighbors(key, graph: PartitionedGraph, seeds, fanouts,
                           weighted: bool = False,
                           filter: Optional[tuple] = None,
                           capacity_factor: float = 1.3,
-                          window: int = 256, num_rounds: int = 1):
+                          window: int = 256,
+                          num_rounds: Optional[int] = None):
     """Distributed multi-hop neighbor sampling (public / test entry point).
 
     ``seeds (B,)`` is the GLOBAL seed batch (B divisible by mesh size); the
@@ -739,7 +754,7 @@ def dist_sample_neighbors(key, graph: PartitionedGraph, seeds, fanouts,
     run = _dist_sampler_fn(mesh, axis, Pn, B, fanouts,
                            bool(with_replacement), bool(weighted),
                            filter_static, float(capacity_factor),
-                           int(window), int(num_rounds))
+                           int(window), resolve_num_rounds(num_rounds, Pn))
     from .multihost import put_partitioned
     with mesh:
         gput = put_partitioned(graph, mesh, P(axis))
@@ -790,7 +805,7 @@ def make_partitioned_trainer(
     filter: Optional[tuple] = None,
     window: int = 256,
     capacity_factor: float = 1.3,
-    num_rounds: int = 1,
+    num_rounds: Optional[int] = None,
     exchange_dtype=None,
 ):
     """Sampled-training closures where NOTHING graph-sized is replicated:
@@ -822,6 +837,7 @@ def make_partitioned_trainer(
     fanouts = tuple(int(k) for k in fanouts)
     tx = optax.adam(learning_rate)
     num_parts = int(mesh.shape[axis])
+    num_rounds = resolve_num_rounds(num_rounds, num_parts)
     filter_static = None
     if filter is not None:
         filter_static = (tuple(int(v) for v in filter[0]), bool(filter[1]),
@@ -968,7 +984,7 @@ def make_partitioned_multibatch_trainer(
     with_replacement: bool = False,
     window: int = 256,
     capacity_factor: float = 1.3,
-    num_rounds: int = 1,
+    num_rounds: Optional[int] = None,
     exchange_dtype=None,
 ):
     """Fully partitioned trainer that fuses M minibatches per jitted step.
@@ -995,6 +1011,7 @@ def make_partitioned_multibatch_trainer(
     fanouts = tuple(int(k) for k in fanouts)
     tx = optax.adam(learning_rate)
     num_parts = int(mesh.shape[axis])
+    num_rounds = resolve_num_rounds(num_rounds, num_parts)
 
     def _sample_gather_split(key, gshard, x_shard, seeds_local, dev):
         M, Bp = seeds_local.shape

@@ -45,7 +45,8 @@ from ..sampling.neighbor import _select_lanes
 from ..sampling.walks import (WALK_BIAS_EXPONENTIAL, WALK_BIAS_LINEAR,
                               WALK_BIAS_UNIFORM)
 from ..utils.types import NAN_TIMESTAMP
-from .dist_sampling import PartitionedGraph, _uid_keys, exchange_rounds
+from .dist_sampling import (PartitionedGraph, _uid_keys, exchange_rounds,
+                            resolve_num_rounds)
 
 NEG_INF = float("-inf")  # python literal: package import must not
 #   create device arrays (jax.distributed.initialize needs an
@@ -288,8 +289,8 @@ def _dist_node2vec_device(key, g: PartitionedGraph, start, *, dev,
 def dist_random_walk(key, graph: PartitionedGraph, start, walk_length: int,
                      mesh: Mesh, *, p: float = 1.0, q: float = 1.0,
                      axis: str = "data", num_trials: int = 16,
-                     capacity_factor: float = 1.3, num_rounds: int = 1,
-                     window: int = 256):
+                     capacity_factor: float = 1.3,
+                     num_rounds: int | None = None, window: int = 256):
     """Distributed node2vec walk (random_walk.rs:10-75 semantics).
 
     ``graph`` must be built from CSR (row_ptrs/col_indices) so rows are
@@ -305,7 +306,7 @@ def dist_random_walk(key, graph: PartitionedGraph, start, walk_length: int,
         num_trials = 1
     run = _dist_walk_fn(mesh, axis, Pn, "node2vec", int(walk_length),
                         int(num_trials), None, None, float(capacity_factor),
-                        int(num_rounds), int(window))
+                        resolve_num_rounds(num_rounds, Pn), int(window))
     from .multihost import put_partitioned
     with mesh:
         gput = put_partitioned(graph, mesh, P(axis))
@@ -387,7 +388,7 @@ def _dist_tempo_device(key, g: PartitionedGraph, start, start_ts, *, dev,
 def dist_tempo_random_walk(key, graph: PartitionedGraph, start, start_ts,
                            walk_length: int, win, mesh: Mesh, *,
                            axis: str = "data", capacity_factor: float = 1.3,
-                           num_rounds: int = 1, window: int = 256):
+                           num_rounds: int | None = None, window: int = 256):
     """Distributed temporal walk (random_walk.rs:80-158 semantics).
 
     ``graph`` must be built with ``edge_timestamps=effective_edge_ts(...)``.
@@ -400,7 +401,8 @@ def dist_tempo_random_walk(key, graph: PartitionedGraph, start, start_ts,
     assert B % Pn == 0
     run = _dist_walk_fn(mesh, axis, Pn, "tempo", int(walk_length), 0,
                         (int(win[0]), int(win[1])), None,
-                        float(capacity_factor), int(num_rounds), int(window))
+                        float(capacity_factor),
+                        resolve_num_rounds(num_rounds, Pn), int(window))
     from .multihost import put_partitioned
     with mesh:
         return run(key, put_partitioned(graph, mesh, P(axis)),
@@ -521,7 +523,8 @@ def dist_biased_tempo_random_walk(key, graph: PartitionedGraph, start,
                                   mesh: Mesh, *, forward: bool = True,
                                   retry_count: int = 10, axis: str = "data",
                                   capacity_factor: float = 1.3,
-                                  num_rounds: int = 2, window: int = 256):
+                                  num_rounds: int | None = None,
+                                  window: int = 256):
     """Distributed CTDNE walk (random_walk.rs:185-288 semantics).
 
     BASELINE config 5's walk over the edge-partitioned graph.  ``graph``
@@ -529,13 +532,13 @@ def dist_biased_tempo_random_walk(key, graph: PartitionedGraph, start,
     ``(walks, walk_ts, overflow)``; the linear bias needs the ELL table
     (rank computation is whole-row).
 
-    ``num_rounds`` defaults to 2: the current XLA:TPU compiler emits a
-    ~70x-slow executable for the ``num_rounds=1`` CTDNE program at scale
-    (BASELINE.md round-3 note), while the strictly-heavier 2-round program
-    compiles sanely — and 2 rounds is also the safer capacity config for
-    power-law frontiers.  Outputs are invariant to ``num_rounds`` for every
-    request that wins a slot (draws are keyed by request uid, not round;
-    see ``exchange_rounds``), so the default change is law-preserving."""
+    ``num_rounds`` defaults to auto (1 at P==1 via the identity routing
+    plan — byte-identical HLO to 2 rounds, which also makes the round-3
+    ~70x-slow ``num_rounds=1`` compile pathology structurally unreachable —
+    and 2 at P>1 so overflowed requests are retried, not dropped).  Outputs
+    are invariant to ``num_rounds`` for every request that wins a slot
+    (draws are keyed by request uid, not round; see ``exchange_rounds``),
+    so the auto default is law-preserving."""
     assert walk_bias in (WALK_BIAS_UNIFORM, WALK_BIAS_LINEAR,
                          WALK_BIAS_EXPONENTIAL)
     if walk_bias == WALK_BIAS_LINEAR:
@@ -549,7 +552,7 @@ def dist_biased_tempo_random_walk(key, graph: PartitionedGraph, start,
     run = _dist_walk_fn(mesh, axis, Pn, "ctdne:" + walk_bias,
                         int(walk_length), int(retry_count), None,
                         bool(forward), float(capacity_factor),
-                        int(num_rounds), int(window))
+                        resolve_num_rounds(num_rounds, Pn), int(window))
     from .multihost import put_partitioned
     with mesh:
         return run(key, put_partitioned(graph, mesh, P(axis)),

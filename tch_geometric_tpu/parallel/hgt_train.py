@@ -3,7 +3,7 @@ attention, one jitted step (BASELINE config 4: fakehetero/ogbn-mag-style).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -116,7 +116,7 @@ def make_partitioned_hgt_trainer(
     learning_rate: float = 1e-3,
     timerange=None,
     capacity_factor: float = 2.0,
-    num_rounds: int = 1,
+    num_rounds: Optional[int] = None,
 ):
     """Typed training with NOTHING graph-sized replicated (VERDICT r3 #3).
 
@@ -161,6 +161,8 @@ def make_partitioned_hgt_trainer(
 
     tx = optax.adam(learning_rate)
     Pn = int(mesh.shape[axis])
+    from .dist_sampling import resolve_num_rounds
+    num_rounds = resolve_num_rounds(num_rounds, Pn)
     node_types = tuple(sorted(node_counts))
     rel_specs = tuple(sorted((rel_key(tuple(e)), e[0], e[2])
                              for e in edge_types))

@@ -146,7 +146,7 @@ def make_partitioned_link_trainer(model, fanouts: Sequence[int], mesh, *,
                                   filter: Optional[tuple] = None,
                                   window: int = 256,
                                   capacity_factor: float = 1.3,
-                                  num_rounds: int = 1):
+                                  num_rounds: Optional[int] = None):
     """Link-prediction training over a PARTITIONED graph: adjacency AND
     features sharded, negatives drawn/probed through the owner-routed
     exchange, trees sampled distributed, gradients pmean'd.
@@ -186,6 +186,8 @@ def make_partitioned_link_trainer(model, fanouts: Sequence[int], mesh, *,
     fanouts = tuple(int(k) for k in fanouts)
     tx = optax.adam(learning_rate)
     num_parts = int(mesh.shape[axis])
+    from .dist_sampling import resolve_num_rounds
+    num_rounds = resolve_num_rounds(num_rounds, num_parts)
     filter_static = None
     if filter is not None:
         filter_static = (tuple(int(v) for v in filter[0]), bool(filter[1]),

@@ -107,6 +107,7 @@ def make_sharded_feature_trainer(
     with_replacement: bool = False,
     window: int = 256,
     capacity_factor: float = 1.3,
+    num_rounds: int | None = None,
 ):
     """Sampled-training closures where ``x`` is interleave-sharded over
     ``mesh[axis]`` and seed/label batches are sharded over the same axis.
@@ -122,6 +123,8 @@ def make_sharded_feature_trainer(
     fanouts = tuple(int(k) for k in fanouts)
     tx = optax.adam(learning_rate)
     num_parts = int(mesh.shape[axis])
+    from .dist_sampling import resolve_num_rounds
+    num_rounds = resolve_num_rounds(num_rounds, num_parts)
 
     def _sample_and_gather(key, graph, x_shard, seeds_local):
         zeros = jnp.zeros((seeds_local.shape[0],), jnp.int32)
@@ -137,7 +140,8 @@ def make_sharded_feature_trainer(
         # rows (never read through a valid tree path)
         x, overflow = halo_gather(x_shard, ids, axis=axis,
                                   num_parts=num_parts, capacity=capacity,
-                                  valid=sample.node_valid)
+                                  valid=sample.node_valid,
+                                  num_rounds=num_rounds)
         return sample, x, overflow
 
     def _loss(params, key, graph, x_shard, seeds_local, labels_local,

@@ -130,14 +130,16 @@ def test_ctdne_invariance_and_monotone_time(karate_csr, bias):
 
 
 def test_ctdne_default_rounds_law_equivalence(karate_csr):
-    """The default ``num_rounds=2`` (compile-pathology workaround,
-    BASELINE.md round-3 note) is law-preserving: outputs are bit-identical
-    to ``num_rounds=1`` because draws are keyed by request uid, not by the
-    round that carried the request."""
+    """The auto default (``None`` -> 2 at P>1; compile-pathology workaround
+    at P==1, BASELINE.md round-3 note) is law-preserving: outputs are
+    bit-identical to ``num_rounds=1`` because draws are keyed by request
+    uid, not by the round that carried the request."""
     import inspect
+    from tch_geometric_tpu.parallel.dist_sampling import resolve_num_rounds
     from tch_geometric_tpu.parallel.dist_walks import (
         dist_biased_tempo_random_walk as f)
-    assert inspect.signature(f).parameters["num_rounds"].default == 2
+    assert inspect.signature(f).parameters["num_rounds"].default is None
+    assert resolve_num_rounds(None, 2) == 2
 
     indptr, indices = karate_csr
     E = indices.shape[0]
