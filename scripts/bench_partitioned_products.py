@@ -28,7 +28,11 @@ from tch_geometric_tpu.parallel.dist_sampling import (
 from tch_geometric_tpu.parallel.sharded_features import (
     build_interleaved_features)
 
-CACHE = "/tmp/products_csc_cache.npz"
+# cache key carries the generating config (dataset/seed/scale/version) so a
+# stale cache from an older synthetic config can't silently benchmark the
+# wrong graph (ADVICE r4)
+_CFG = "ogbn-products_seed0_scale1.0_v1"
+CACHE = f"/tmp/products_csc_cache_{_CFG}.npz"
 t0 = time.time()
 if os.path.exists(CACHE):
     d = np.load(CACHE)

@@ -32,16 +32,35 @@ def log(*a):
 
 
 def main(scale=1.0, steps=120, m=8, batch=512, hidden=256, dropout=0.2,
-         lr=1e-2):
-    from tch_geometric_tpu.data.ogb import planted_ogbn
+         lr=1e-2, data_dir=None, directed=False):
+    from tch_geometric_tpu.data.dataset import Data
+    from tch_geometric_tpu.data.ogb import load_ogbn_dir, planted_ogbn
     from tch_geometric_tpu.models import GraphSAGE
     from tch_geometric_tpu.ops.spmm_blocked import build_blocked_segmented
     from tch_geometric_tpu.parallel.train import make_multibatch_sage_trainer
 
     t0 = time.time()
-    data, split = planted_ogbn("ogbn-products", scale=scale, noise=1.0)
-    log(f"planted products scale={scale}: N={data.x.shape[0]} "
-        f"E={data.edge_index.shape[1]} gen in {time.time()-t0:.0f}s")
+    if data_dir is not None:
+        # REAL ogbn-products (the north-star accuracy row): any mounted
+        # copy in the raw download layout or a graph.npz (see
+        # data/ogb.load_ogbn_dir; miniature layout fixture:
+        # tests/fixtures/ogbn_products_mini).  The raw download stores
+        # each undirected edge once — symmetrize unless --directed.
+        data, split = load_ogbn_dir(data_dir)
+        if not directed:
+            ei = data.edge_index
+            both = np.concatenate([ei, ei[::-1]], axis=1)
+            data = Data(x=data.x, edge_index=both, y=data.y)
+        if not split:
+            raise SystemExit(f"{data_dir} carries no split files")
+        tag = f"real:{data_dir}"
+        log(f"real OGB data from {data_dir}: N={data.x.shape[0]} "
+            f"E={data.edge_index.shape[1]} loaded {time.time()-t0:.0f}s")
+    else:
+        data, split = planted_ogbn("ogbn-products", scale=scale, noise=1.0)
+        tag = "planted"
+        log(f"planted products scale={scale}: N={data.x.shape[0]} "
+            f"E={data.edge_index.shape[1]} gen in {time.time()-t0:.0f}s")
 
     t0 = time.time()
     graph = data.csc()
@@ -72,7 +91,11 @@ def main(scale=1.0, steps=120, m=8, batch=512, hidden=256, dropout=0.2,
     # key by everything that determines the layout: generator name+seed+scale
     # and the segment count — a stale cache would silently evaluate over the
     # wrong adjacency
-    cache = f"/tmp/seg_blocked_planted-products_seed0_{scale}_S32.npz"
+    import hashlib
+    cache_tag = hashlib.sha1(
+        f"{tag}_{scale}_{data.x.shape[0]}_{data.edge_index.shape[1]}"
+        .encode()).hexdigest()[:12]
+    cache = f"/tmp/seg_blocked_products_{cache_tag}_S32.npz"
     if os.path.exists(cache):
         z = np.load(cache)
         from tch_geometric_tpu.ops.spmm_blocked import SegmentedBlockedCsr
@@ -157,7 +180,8 @@ def main(scale=1.0, steps=120, m=8, batch=512, hidden=256, dropout=0.2,
                 f"test {te_acc:.4f} (infer {t_inf:.1f}s)")
 
     print(json.dumps({
-        "dataset": "planted-ogbn-products", "scale": scale,
+        "dataset": ("ogbn-products" if data_dir else
+                    "planted-ogbn-products"), "scale": scale,
         "N": int(data.x.shape[0]), "E": int(data.edge_index.shape[1]),
         "test_acc": round(best_te, 4),
         "minibatches": steps * m,
@@ -171,5 +195,11 @@ if __name__ == "__main__":
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--dropout", type=float, default=0.2)
+    ap.add_argument("--data-dir", default=None,
+                    help="directory with REAL ogbn-products (raw csv.gz "
+                         "layout or graph.npz; see data/ogb.load_ogbn_dir)")
+    ap.add_argument("--directed", action="store_true",
+                    help="skip the undirected symmetrization of raw edges")
     a = ap.parse_args()
-    main(scale=a.scale, steps=a.steps, dropout=a.dropout)
+    main(scale=a.scale, steps=a.steps, dropout=a.dropout,
+         data_dir=a.data_dir, directed=a.directed)

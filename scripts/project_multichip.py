@@ -90,6 +90,36 @@ def project(P, *, feat_bytes=4, dcn_fraction=0.0):
             "eff": T_COMPUTE_MS / t_step}
 
 
+N_PRODUCTS = 2_449_029     # nodes (synthetic ogbn-products config)
+MODEL_BYTES = 0.83e6       # 3-layer SAGE h=256 F=100 params, f32
+
+
+def project_hier(P, num_slices, *, feat_bytes=4):
+    """Hierarchical multislice plan (round 5, ``hier=`` trainers):
+    topology slice-replicated -> every sampling/feature EXCHANGE rides ICI
+    with C = P/S owners; DCN carries only (a) one static all_gather of the
+    device's own feature shard over the slice axis ((S-1) * ceil(N/P) * F
+    rows — NOT per-request rows) and (b) the gradient all-reduce's
+    inter-slice fraction.  Exchange formulas are the same static shape
+    constants as the flat plan (tests/test_scaling_accounting.py family);
+    bit-identity of the hier plan vs flat is pinned on the virtual 2x4
+    mesh (tests/test_hier_partitioned.py)."""
+    S = num_slices
+    C = P // S
+    eb = exchange_bytes(C, feat_bytes=feat_bytes)   # per-device, C owners
+    ici_bytes = eb["total"] * (C - 1) / C
+    Np = -(-N_PRODUCTS // P)
+    dcn_allgather = (S - 1) * Np * F * feat_bytes
+    dcn_grads = 2 * MODEL_BYTES * (S - 1) / S       # ring all-reduce share
+    dcn_bytes = dcn_allgather + dcn_grads
+    t_comm_ms = (ici_bytes / (ICI_GBPS * 1e9)
+                 + dcn_bytes / (DCN_GBPS * 1e9)) * 1e3
+    t_step = T_COMPUTE_MS + t_comm_ms
+    return {"P": P, "S": S, "ici_mb": ici_bytes / 1e6,
+            "dcn_mb": dcn_bytes / 1e6, "t_comm_ms": t_comm_ms,
+            "t_step_ms": t_step, "eff": T_COMPUTE_MS / t_step}
+
+
 def main():
     print(f"compute (measured P=1 device time): {T_COMPUTE_MS} ms/step, "
           f"B/dev={B_PER_DEV}, fanouts {FANOUTS}, F={F}")
@@ -102,10 +132,23 @@ def main():
             print(f"{r['P']:>4} {r['mb_per_dev']:>11.1f} "
                   f"{r['t_comm_ms']:>10.2f} {r['t_step_ms']:>10.1f} "
                   f"{r['eff']*100:>9.1f}%")
-        # multislice: 2 slices of P/2, half the peer pairs cross DCN
+        # multislice, FLAT plan: 2 slices of P/2, half the peer pairs
+        # cross DCN — the round-4 efficiency collapse, kept as contrast
         r = project(512, feat_bytes=feat_bytes, dcn_fraction=0.5)
-        print(f" 512 (2 slices via DCN, 50% cross) "
+        print(f" 512 (2 slices, FLAT plan: per-request rows over DCN) "
               f"t_comm {r['t_comm_ms']:.1f} ms -> eff {r['eff']*100:.0f}%")
+        # multislice, HIERARCHICAL plan (hier= trainers)
+        for P, S in ((512, 2), (1024, 4)):
+            h = project_hier(P, S, feat_bytes=feat_bytes)
+            print(f"{P:>5} ({S} slices, HIER plan: slice-replicated "
+                  f"topology + shard all_gather)\n"
+                  f"      ICI {h['ici_mb']:.0f} MB/dev, DCN "
+                  f"{h['dcn_mb']:.2f} MB/dev "
+                  f"((S-1)*ceil(N/P)*F*{feat_bytes}B = "
+                  f"{(S-1)*-(-N_PRODUCTS//P)*F*feat_bytes/1e6:.2f} MB "
+                  f"all_gather + {2*MODEL_BYTES*(S-1)/S/1e6:.2f} MB grads) "
+                  f"-> t_comm {h['t_comm_ms']:.1f} ms, eff "
+                  f"{h['eff']*100:.0f}%")
 
 
 if __name__ == "__main__":

@@ -94,13 +94,36 @@ def load_ogbn_dir(path: str):
         raise FileNotFoundError(
             f"{path!r} has neither graph.npz nor a raw/ OGB layout; see "
             "load_ogbn_dir's docstring for the expected files")
-    # np.loadtxt decompresses .gz transparently
+    # np.loadtxt decompresses .gz transparently; OGB CSVs carry NO header
+    # row (the ogb package reads them with pandas header=None)
     edge = np.loadtxt(os.path.join(raw, "edge.csv.gz"), delimiter=",",
                       dtype=np.int64, ndmin=2)
     x = np.loadtxt(os.path.join(raw, "node-feat.csv.gz"), delimiter=",",
                    dtype=np.float32, ndmin=2)
     y = np.loadtxt(os.path.join(raw, "node-label.csv.gz"), delimiter=",",
                    dtype=np.int64).reshape(-1)
+    # schema guards: the real download ships num-node-list / num-edge-list
+    # (single-count files); when present they must agree with the data
+    # files, so a truncated or mismatched copy fails loudly here rather
+    # than as a silent accuracy anomaly
+    for fname, expect, what in (
+            ("num-node-list.csv.gz", x.shape[0], "node-feat rows"),
+            ("num-edge-list.csv.gz", edge.shape[0], "edge rows")):
+        f = os.path.join(raw, fname)
+        if os.path.exists(f):
+            n_declared = int(np.loadtxt(f, dtype=np.int64).reshape(-1)[0])
+            if n_declared != expect:
+                raise ValueError(
+                    f"{fname} declares {n_declared} but {what} = {expect}: "
+                    f"the dataset copy under {path!r} is inconsistent")
+    if y.shape[0] != x.shape[0]:
+        raise ValueError(
+            f"node-label rows ({y.shape[0]}) != node-feat rows "
+            f"({x.shape[0]}) under {path!r}")
+    if edge.size and int(edge.max()) >= x.shape[0]:
+        raise ValueError(
+            f"edge.csv.gz references node {int(edge.max())} but only "
+            f"{x.shape[0]} nodes have features under {path!r}")
     split = {}
     for sdir in sorted(glob.glob(os.path.join(path, "split", "*"))):
         got = {}

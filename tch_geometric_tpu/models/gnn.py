@@ -142,7 +142,7 @@ class GATConv(nn.Module):
             # feature gather (the gather engine's only fast row width —
             # widened rows cost ~3x per access, BASELINE.md round 4)
             out = gat_attend_blocked_packed(
-                blocked, h, alpha_src, alpha_dst, alpha_src_vec=a_src,
+                blocked, h, None, alpha_dst, alpha_src_vec=a_src,
                 compute_dtype=jnp.float32 if self.dtype is None else self.dtype,
                 interpret=jax.default_backend() != "tpu")
             return out.reshape(-1, self.features)

@@ -900,7 +900,8 @@ def _gat_packed_core(lr_lane_ref, g_feat, asrc, ad_ref, out_ref, m_ref,
 
 
 def gat_attend_blocked_packed(b: BlockedCsr, h: jax.Array,
-                              alpha_src: jax.Array, alpha_dst: jax.Array, *,
+                              alpha_src: jax.Array | None,
+                              alpha_dst: jax.Array, *,
                               negative_slope: float = 0.2,
                               compute_dtype=jnp.bfloat16,
                               alpha_src_vec: jax.Array | None = None,
@@ -923,10 +924,15 @@ def gat_attend_blocked_packed(b: BlockedCsr, h: jax.Array,
       (v5e): the gather engine's fast path exists ONLY at 256 B rows
       (380 Macc/s; 264-512 B rows all drop to ~130), so this variant's
       floor is 11.8 ms where the widened layout pays 34 ms at E=4.2M.
-      ``alpha_src`` is ignored in this mode (pass the table anyway for
-      API symmetry; exactness vs the table path is bounded by the bf16
-      rounding of the in-kernel projection).
+      Pass ``alpha_src=None`` in this mode — supplying both raises, so an
+      inconsistent (table, vec) pair cannot silently diverge (in bf16 the
+      in-kernel projection rounds differently from the table path).
     """
+    if (alpha_src is None) == (alpha_src_vec is None):
+        raise ValueError(
+            "pass exactly one of alpha_src (per-node logit table) or "
+            "alpha_src_vec (GATv1 (H, D) projection; the kernel recomputes "
+            "the logits in-kernel)")
     N, H, D = h.shape
     W = b.rows_per_block
     T, C = b.edge_src.shape

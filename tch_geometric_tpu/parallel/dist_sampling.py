@@ -30,7 +30,7 @@ invalid subtrees and are counted in the returned diagnostics, mirroring
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -217,6 +217,12 @@ def _owner_ranks(ow, valid, num_parts: int):
     multiply-reduce below streams on the VPU instead).
     """
     L = ow.shape[0]
+    # f32 counts are exact only while every intermediate (<= L) < 2^24;
+    # guard statically so a 16.7M+-request frontier fails loudly instead of
+    # silently corrupting ranks (ADVICE r4).
+    assert L < (1 << 24), (
+        f"_owner_ranks: frontier of {L} requests exceeds the f32-exact "
+        f"counting range (2^24); chunk the frontier or widen the scan")
     onehot = ((ow[:, None] == jnp.arange(num_parts, dtype=jnp.int32)[None, :])
               & valid[:, None])                          # (L, P)
     c = _SCAN_CHUNK
@@ -265,7 +271,13 @@ def _route_to_owners(owner, valid, num_parts: int, capacity: int) -> _Router:
         rank = jnp.arange(L, dtype=jnp.int32)
 
         def scatter(payload, rnd: int = 0):
-            p = payload
+            # match the general plan's owner-visible contract: invalid /
+            # out-of-round slots carry zeros, not stale payloads (ADVICE
+            # r4 — an owner_fn reducing over slots without the in-round
+            # flag must see the same bytes under both plans)
+            v = valid if rnd == 0 else jnp.zeros((L,), jnp.bool_)
+            p = jnp.where(v[(...,) + (None,) * (payload.ndim - 1)],
+                          payload, jnp.zeros((), payload.dtype))
             if capacity > L:
                 pads = ((0, capacity - L),) + ((0, 0),) * (p.ndim - 1)
                 p = jnp.pad(p, pads)
@@ -793,6 +805,50 @@ def _dist_sampler_fn(mesh, axis, Pn, B, fanouts, with_replacement, weighted,
 # Fully partitioned training: topology + features both sharded
 # ---------------------------------------------------------------------------
 
+def _hier_feature_gather(x_shard, ids, *, ax_slice: str, ax_chip: str,
+                         num_slices: int, chips_per_slice: int,
+                         capacity: int, valid=None, num_rounds: int = 1):
+    """Hierarchical (multislice) feature fetch: slice-axis all_gather +
+    intra-slice routed exchange (VERDICT r4 item 1).
+
+    The flat per-request halo ships ``(S-1)/S * cf * L_tree`` feature rows
+    over DCN per device per step (~122 MB at products scale — the 31-46%
+    multislice efficiency collapse).  Here DCN instead carries ONE static
+    ``all_gather`` of the device's own feature shard over the slice axis —
+    ``(S-1) * N/P`` rows (~3.8 MB f32 at products/P=512, a ~30x byte
+    reduction) — after which every request is served intra-slice: the
+    gathered ``(S, N/P, F)`` table holds every row whose owner has this
+    device's chip index (owner chip of id = id % C since C | P), so the
+    per-request exchange routes over the ICI ``ax_chip`` axis only.  As a
+    static collective with no data dependence on sampling, XLA can also
+    schedule the all_gather concurrently with the sampling hops (the
+    per-request dynamic-gather path is measured NOT to overlap,
+    BASELINE.md round-1 negative).
+
+    ``x_shard (Np, F)``: this device's 1/P interleaved shard (owner of row
+    ``i`` is ``i % P``, P = S*C, device linear index s*C + c).  Returns
+    ``((L, F) rows, overflow)`` — bit-identical to the flat
+    :func:`~.sharded_features.halo_gather` of the same ids (pure gathers
+    of the same rows; pinned by tests/test_hier_partitioned.py).
+    """
+    from .sharded_features import routed_row_fetch
+    S, C = num_slices, chips_per_slice
+    P_total = S * C
+    Np = x_shard.shape[0]
+    L = ids.shape[0]
+    if valid is None:
+        valid = jnp.ones((L,), bool)
+    with jax.named_scope("hier.slice_all_gather"):
+        x_aug = jax.lax.all_gather(x_shard, ax_slice, axis=0, tiled=False)
+        x_aug = x_aug.reshape(S * Np, x_shard.shape[-1])
+    owner_chip = (ids % C).astype(jnp.int32)
+    owner_slice = ((ids % P_total) // C).astype(jnp.int32)
+    local = owner_slice * Np + (ids // P_total).astype(jnp.int32)
+    return routed_row_fetch(x_aug, owner_chip, local, valid, axis=ax_chip,
+                            num_parts=C, capacity=capacity,
+                            num_rounds=num_rounds)
+
+
 def make_partitioned_trainer(
     model,
     fanouts: Sequence[int],
@@ -807,6 +863,7 @@ def make_partitioned_trainer(
     capacity_factor: float = 1.3,
     num_rounds: Optional[int] = None,
     exchange_dtype=None,
+    hier: Optional[Tuple[str, str]] = None,
 ):
     """Sampled-training closures where NOTHING graph-sized is replicated:
     adjacency shards via :class:`PartitionedGraph`, features interleave-shard
@@ -832,11 +889,38 @@ def make_partitioned_trainer(
     this dtype before the routed halo exchange — halves the float traffic
     the routing permutes/all_to_alls when features are f32 and training
     computes in bf16 anyway.  Default None keeps the table dtype.
+
+    ``hier=(slice_axis, chip_axis)`` (multislice): run over a 2-axis mesh
+    where ``slice_axis`` spans DCN-connected slices and ``chip_axis`` the
+    ICI-connected chips of one slice.  Topology is SLICE-REPLICATED (build
+    the graph with ``num_parts = mesh.shape[chip_axis]``; its arrays shard
+    ``P(chip_axis)``, so every sampling all_to_all rides ICI only), the
+    feature table stays fully partitioned over all S*C devices
+    (``P((slice_axis, chip_axis))``) and is fetched via
+    :func:`_hier_feature_gather` — DCN carries one static shard
+    all_gather per step instead of per-request rows.  Seeds/labels shard
+    ``P((slice_axis, chip_axis))``.  Sampled trees and fetched rows are
+    bit-identical to the flat plan (uid-keyed draws; same-row gathers),
+    pinned by tests/test_hier_partitioned.py.
     """
     tree_forward = type(model).tree_forward
     fanouts = tuple(int(k) for k in fanouts)
     tx = optax.adam(learning_rate)
-    num_parts = int(mesh.shape[axis])
+    if hier is not None:
+        ax_slice, ax_chip = hier
+        n_slices = int(mesh.shape[ax_slice])
+        n_chips = int(mesh.shape[ax_chip])
+        num_parts = n_slices * n_chips          # feature-table partitions
+        samp_axis, samp_parts = ax_chip, n_chips
+        reduce_axes: Any = (ax_slice, ax_chip)
+        shard = P((ax_slice, ax_chip))
+        graph_spec = P(ax_chip)
+    else:
+        num_parts = int(mesh.shape[axis])
+        samp_axis, samp_parts = axis, num_parts
+        reduce_axes = axis
+        shard = P(axis)
+        graph_spec = shard
     num_rounds = resolve_num_rounds(num_rounds, num_parts)
     filter_static = None
     if filter is not None:
@@ -845,9 +929,9 @@ def make_partitioned_trainer(
 
     def _sample_and_gather(key, gshard, x_shard, seeds_local, dev,
                            seed_state=None):
-        assert gshard.num_parts == num_parts, (
-            f"graph partitioned for {gshard.num_parts} devices but the mesh "
-            f"axis has {num_parts}")
+        assert gshard.num_parts == samp_parts, (
+            f"graph partitioned for {gshard.num_parts} devices but the "
+            f"sampling axis has {samp_parts}")
         if weighted:
             assert gshard.llogw is not None, (
                 "weighted=True needs edge_weights at "
@@ -857,22 +941,29 @@ def make_partitioned_trainer(
                 "filter= needs edge_timestamps at build_partitioned_graph")
         total_seeds = seeds_local.shape[0] * num_parts
         sample, s_ovf = _dist_sample_device(
-            key, gshard, seeds_local, dev=dev, fanouts=fanouts, axis=axis,
-            num_parts=num_parts, total_seeds=total_seeds,
+            key, gshard, seeds_local, dev=dev, fanouts=fanouts,
+            axis=samp_axis, num_parts=samp_parts, total_seeds=total_seeds,
             capacity_factor=capacity_factor,
             with_replacement=with_replacement, weighted=weighted,
             filter_static=filter_static, seed_state=seed_state,
             window=window, num_rounds=num_rounds)
         n_rows = x_shard.shape[0] * num_parts
         ids = jnp.clip(sample.nodes, 0, n_rows - 1)
-        capacity = int(np.ceil(capacity_factor * ids.shape[0] / num_parts))
+        capacity = int(np.ceil(capacity_factor * ids.shape[0] / samp_parts))
         capacity = min(capacity, ids.shape[0])
         if exchange_dtype is not None:
             x_shard = x_shard.astype(exchange_dtype)
-        x, f_ovf = halo_gather(x_shard, ids, axis=axis,
-                               num_parts=num_parts, capacity=capacity,
-                               valid=sample.node_valid,
-                               num_rounds=num_rounds)
+        if hier is not None:
+            x, f_ovf = _hier_feature_gather(
+                x_shard, ids, ax_slice=ax_slice, ax_chip=ax_chip,
+                num_slices=n_slices, chips_per_slice=n_chips,
+                capacity=capacity, valid=sample.node_valid,
+                num_rounds=num_rounds)
+        else:
+            x, f_ovf = halo_gather(x_shard, ids, axis=axis,
+                                   num_parts=num_parts, capacity=capacity,
+                                   valid=sample.node_valid,
+                                   num_rounds=num_rounds)
         return sample, x, (s_ovf, f_ovf)
 
     def _loss(params, key, gshard, x_shard, seeds_local, labels_local,
@@ -888,7 +979,13 @@ def make_partitioned_trainer(
             logits, labels_local).mean()
         return loss, (logits, ovf)
 
-    repl, shard = P(), P(axis)
+    repl = P()
+
+    def _dev():
+        if hier is not None:
+            return (jax.lax.axis_index(ax_slice) * n_chips
+                    + jax.lax.axis_index(ax_chip))
+        return jax.lax.axis_index(axis)
 
     def _ts_or_zeros(seed_ts, seeds):
         if seed_ts is None:
@@ -897,15 +994,14 @@ def make_partitioned_trainer(
 
     def init_fn(key, graph, x_sharded, seeds, seed_ts=None):
         @functools.partial(shard_map, mesh=mesh,
-                           in_specs=(repl, shard, shard, shard, shard),
+                           in_specs=(repl, graph_spec, shard, shard, shard),
                            out_specs=repl)
         def _init(key, gshard, x_shard, seeds_local, ts_local):
-            dev = jax.lax.axis_index(axis)
             sample, x, _ = _sample_and_gather(key, gshard, x_shard,
-                                              seeds_local, dev,
+                                              seeds_local, _dev(),
                                               seed_state=ts_local)
             params = model.init(key, sample, x, method=tree_forward)
-            return jax.lax.pmean(params, axis)
+            return jax.lax.pmean(params, reduce_axes)
 
         params = _init(key, graph, x_sharded, seeds,
                        _ts_or_zeros(seed_ts, seeds))
@@ -917,21 +1013,20 @@ def make_partitioned_trainer(
                          seed_ts):
         @functools.partial(
             shard_map, mesh=mesh,
-            in_specs=(repl, repl, repl, repl, shard, shard, shard, shard,
-                      shard),
+            in_specs=(repl, repl, repl, repl, graph_spec, shard, shard,
+                      shard, shard),
             out_specs=(repl, repl, repl, repl, repl))
         def _step(params, opt_state, step, key, gshard, x_shard,
                   seeds_local, labels_local, ts_local):
-            dev = jax.lax.axis_index(axis)
             k = rng.fold(key, step)
             (loss, (logits, ovf)), grads = jax.value_and_grad(
                 _loss, has_aux=True)(params, k, gshard, x_shard, seeds_local,
-                                     labels_local, ts_local, dev, False)
-            grads = jax.lax.pmean(grads, axis)
-            loss = jax.lax.pmean(loss, axis)
+                                     labels_local, ts_local, _dev(), False)
+            grads = jax.lax.pmean(grads, reduce_axes)
+            loss = jax.lax.pmean(loss, reduce_axes)
             acc = jax.lax.pmean(
-                (logits.argmax(-1) == labels_local).mean(), axis)
-            overflow = jax.lax.psum(ovf[0] + ovf[1], axis)
+                (logits.argmax(-1) == labels_local).mean(), reduce_axes)
+            overflow = jax.lax.psum(ovf[0] + ovf[1], reduce_axes)
             updates, new_opt = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             return new_params, new_opt, loss, acc, overflow
@@ -952,17 +1047,17 @@ def make_partitioned_trainer(
                         seed_ts):
         @functools.partial(
             shard_map, mesh=mesh,
-            in_specs=(repl, repl, shard, shard, shard, shard, shard),
+            in_specs=(repl, repl, graph_spec, shard, shard, shard, shard),
             out_specs=(repl, repl))
         def _eval(params, key, gshard, x_shard, seeds_local, labels_local,
                   ts_local):
-            dev = jax.lax.axis_index(axis)
             k = rng.fold(key, jnp.asarray(1 << 20, jnp.uint32))
             loss, (logits, _) = _loss(params, k, gshard, x_shard,
                                       seeds_local, labels_local, ts_local,
-                                      dev, True)
+                                      _dev(), True)
             acc = (logits.argmax(-1) == labels_local).mean()
-            return jax.lax.pmean(loss, axis), jax.lax.pmean(acc, axis)
+            return (jax.lax.pmean(loss, reduce_axes),
+                    jax.lax.pmean(acc, reduce_axes))
 
         return _eval(state.params, key, graph, x_sharded, seeds, labels,
                      seed_ts)
@@ -986,6 +1081,7 @@ def make_partitioned_multibatch_trainer(
     capacity_factor: float = 1.3,
     num_rounds: Optional[int] = None,
     exchange_dtype=None,
+    hier: Optional[Tuple[str, str]] = None,
 ):
     """Fully partitioned trainer that fuses M minibatches per jitted step.
 
@@ -1010,8 +1106,28 @@ def make_partitioned_multibatch_trainer(
     tree_forward = type(model).tree_forward
     fanouts = tuple(int(k) for k in fanouts)
     tx = optax.adam(learning_rate)
-    num_parts = int(mesh.shape[axis])
+    if hier is not None:
+        ax_slice, ax_chip = hier
+        n_slices = int(mesh.shape[ax_slice])
+        n_chips = int(mesh.shape[ax_chip])
+        num_parts = n_slices * n_chips
+        samp_axis, samp_parts = ax_chip, n_chips
+        reduce_axes: Any = (ax_slice, ax_chip)
+        shard = P((ax_slice, ax_chip))
+        graph_spec = P(ax_chip)
+    else:
+        num_parts = int(mesh.shape[axis])
+        samp_axis, samp_parts = axis, num_parts
+        reduce_axes = axis
+        shard = P(axis)
+        graph_spec = shard
     num_rounds = resolve_num_rounds(num_rounds, num_parts)
+
+    def _dev():
+        if hier is not None:
+            return (jax.lax.axis_index(ax_slice) * n_chips
+                    + jax.lax.axis_index(ax_chip))
+        return jax.lax.axis_index(axis)
 
     def _sample_gather_split(key, gshard, x_shard, seeds_local, dev):
         M, Bp = seeds_local.shape
@@ -1025,39 +1141,46 @@ def make_partitioned_multibatch_trainer(
                 + dev * Bp
                 + jnp.arange(Bp, dtype=jnp.int32)[None, :]).reshape(-1)
         sample, s_ovf = _dist_sample_device(
-            key, gshard, flat, dev=dev, fanouts=fanouts, axis=axis,
-            num_parts=num_parts, total_seeds=total_seeds,
+            key, gshard, flat, dev=dev, fanouts=fanouts, axis=samp_axis,
+            num_parts=samp_parts, total_seeds=total_seeds,
             capacity_factor=capacity_factor,
             with_replacement=with_replacement, seed_state=None,
             window=window, num_rounds=num_rounds, seed_gidx=gidx)
         n_rows = x_shard.shape[0] * num_parts
         ids = jnp.clip(sample.nodes, 0, n_rows - 1)
-        capacity = int(np.ceil(capacity_factor * ids.shape[0] / num_parts))
+        capacity = int(np.ceil(capacity_factor * ids.shape[0] / samp_parts))
         capacity = min(capacity, ids.shape[0])
         if exchange_dtype is not None:
             x_shard = x_shard.astype(exchange_dtype)
-        x, f_ovf = halo_gather(x_shard, ids, axis=axis,
-                               num_parts=num_parts, capacity=capacity,
-                               valid=sample.node_valid,
-                               num_rounds=num_rounds)
+        if hier is not None:
+            x, f_ovf = _hier_feature_gather(
+                x_shard, ids, ax_slice=ax_slice, ax_chip=ax_chip,
+                num_slices=n_slices, chips_per_slice=n_chips,
+                capacity=capacity, valid=sample.node_valid,
+                num_rounds=num_rounds)
+        else:
+            x, f_ovf = halo_gather(x_shard, ids, axis=axis,
+                                   num_parts=num_parts, capacity=capacity,
+                                   valid=sample.node_valid,
+                                   num_rounds=num_rounds)
         split, xs = split_sample_batches(sample, M, x)
         return split, xs, s_ovf + f_ovf
 
-    repl, shard = P(), P(axis)
-    shard2 = P(None, axis)
+    repl = P()
+    shard2 = (P(None, (ax_slice, ax_chip)) if hier is not None
+              else P(None, axis))
 
     def init_fn(key, graph, x_sharded, seeds):
         @functools.partial(shard_map, mesh=mesh,
-                           in_specs=(repl, shard, shard, shard2),
+                           in_specs=(repl, graph_spec, shard, shard2),
                            out_specs=repl)
         def _init(key, gshard, x_shard, seeds_local):
-            dev = jax.lax.axis_index(axis)
             split, xs, _ = _sample_gather_split(key, gshard, x_shard,
-                                                seeds_local, dev)
+                                                seeds_local, _dev())
             one = jax.tree_util.tree_map(
                 lambda a: a[0] if hasattr(a, "ndim") else a, split)
             params = model.init(key, one, xs[0], method=tree_forward)
-            return jax.lax.pmean(params, axis)
+            return jax.lax.pmean(params, reduce_axes)
 
         params = _init(key, graph, x_sharded, seeds)
         return TrainState(params=params, opt_state=tx.init(params),
@@ -1067,14 +1190,14 @@ def make_partitioned_multibatch_trainer(
     def train_step(state, key, graph, x_sharded, seeds, labels):
         @functools.partial(
             shard_map, mesh=mesh,
-            in_specs=(repl, repl, repl, repl, shard, shard, shard2, shard2),
+            in_specs=(repl, repl, repl, repl, graph_spec, shard, shard2,
+                      shard2),
             out_specs=(repl, repl, repl, repl, repl))
         def _step(params, opt_state, step, key, gshard, x_shard,
                   seeds_local, labels_local):
-            dev = jax.lax.axis_index(axis)
             k = rng.fold(key, step)
             split, xs, ovf = _sample_gather_split(k, gshard, x_shard,
-                                                  seeds_local, dev)
+                                                  seeds_local, _dev())
 
             def one_update(carry, inp):
                 p, opt = carry
@@ -1092,10 +1215,10 @@ def make_partitioned_multibatch_trainer(
 
                 (loss, logits), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(p)
-                grads = jax.lax.pmean(grads, axis)
-                loss = jax.lax.pmean(loss, axis)
+                grads = jax.lax.pmean(grads, reduce_axes)
+                loss = jax.lax.pmean(loss, reduce_axes)
                 acc = jax.lax.pmean(
-                    (logits.argmax(-1) == labels_m).mean(), axis)
+                    (logits.argmax(-1) == labels_m).mean(), reduce_axes)
                 updates, opt = tx.update(grads, opt, p)
                 p = optax.apply_updates(p, updates)
                 return (p, opt), (loss, acc)
@@ -1104,7 +1227,7 @@ def make_partitioned_multibatch_trainer(
             (params, opt_state), (losses, accs) = jax.lax.scan(
                 one_update, (params, opt_state),
                 (jnp.arange(M, dtype=jnp.uint32), split, xs, labels_local))
-            overflow = jax.lax.psum(ovf, axis)
+            overflow = jax.lax.psum(ovf, reduce_axes)
             return params, opt_state, losses, accs, overflow
 
         params, opt_state, losses, accs, overflow = _step(

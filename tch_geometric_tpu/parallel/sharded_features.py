@@ -70,13 +70,29 @@ def halo_gather(x_shard: jax.Array, ids: jax.Array, *, axis: str,
     local = (ids // num_parts).astype(jnp.int32)
     if valid is None:
         valid = jnp.ones((L,), bool)
+    return routed_row_fetch(x_shard, owner, local, valid, axis=axis,
+                            num_parts=num_parts, capacity=capacity,
+                            num_rounds=num_rounds)
+
+
+def routed_row_fetch(table, owner, local, valid, *, axis: str,
+                     num_parts: int, capacity: int, num_rounds: int = 1):
+    """Owner-routed row fetch with explicit (owner, local) addressing
+    (INSIDE shard_map): requests route to ``owner`` over ``axis``, owners
+    gather ``table[local]`` from their own ``table``, rows route back.
+    :func:`halo_gather` is the interleaved-ownership instantiation; the
+    hierarchical trainer addresses a slice-gathered table instead
+    (``dist_sampling._hier_feature_gather``).  Returns ((L, F) rows,
+    overflow count of valid requests no round carried).
+    """
+    L = owner.shape[0]
     # invalid slots never consume capacity; routing plans (identity at
     # P=1 / counting-scan general) come from dist_sampling._route_to_owners
     from .dist_sampling import _route_to_owners
     router = _route_to_owners(owner, valid, num_parts, capacity)
     rounds = (num_rounds if router.max_rounds is None
               else min(num_rounds, router.max_rounds))
-    out = jnp.zeros((L, x_shard.shape[-1]), x_shard.dtype)
+    out = jnp.zeros((L, table.shape[-1]), table.dtype)
     got = jnp.zeros((L,), bool)
     for rnd in range(rounds):
         in_round = router.in_round(rnd)
@@ -85,7 +101,7 @@ def halo_gather(x_shard: jax.Array, ids: jax.Array, *, axis: str,
         with jax.named_scope("halo.route_requests"):
             peer_req = jax.lax.all_to_all(req, axis, 0, 0)  # (P, C) of me
         with jax.named_scope("halo.owner_gather"):
-            rows = x_shard[jnp.clip(peer_req, 0, x_shard.shape[0] - 1)]
+            rows = table[jnp.clip(peer_req, 0, table.shape[0] - 1)]
         with jax.named_scope("halo.route_rows"):
             back = jax.lax.all_to_all(rows, axis, 0, 0)     # (P, C, F) mine
         mine = router.pickup(back, rnd)

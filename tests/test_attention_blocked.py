@@ -353,8 +353,12 @@ def test_gat_packed_vec_matches_table():
     ref = np.asarray(gat_attend_blocked_packed(
         b, h, a_s, a_d, compute_dtype=jnp.float32, interpret=True))
     out = np.asarray(gat_attend_blocked_packed(
-        b, h, a_s, a_d, alpha_src_vec=vec, compute_dtype=jnp.float32,
+        b, h, None, a_d, alpha_src_vec=vec, compute_dtype=jnp.float32,
         interpret=True))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        gat_attend_blocked_packed(b, h, a_s, a_d, alpha_src_vec=vec,
+                                  compute_dtype=jnp.float32, interpret=True)
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
 

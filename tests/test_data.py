@@ -246,3 +246,55 @@ def test_load_ogbn_dir_layouts(tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         load_ogbn_dir(str(tmp_path / "nope"))
+
+
+def test_ogbn_products_mini_fixture_roundtrip(tmp_path):
+    """VERDICT r4 item 7: a checked-in miniature fixture in the EXACT
+    ogbn-products raw download layout (raw/*.csv.gz names, no header rows,
+    num-node/num-edge count files, split/sales_ranking/) loads through the
+    real-data escape hatch, its schema guards catch corruption, and the
+    loaded data round-trips through the graph.npz fast layout."""
+    import gzip
+    import os
+    import shutil
+
+    from tch_geometric_tpu.data.ogb import OGBN_SPECS, load_ogbn_dir
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "ogbn_products_mini")
+    data, split = load_ogbn_dir(fix)
+    N, F = data.x.shape
+    assert N == 60 and F == OGBN_SPECS["ogbn-products"][2]  # real feat dim
+    assert data.edge_index.shape == (2, 240)
+    assert data.y.shape == (N,)
+    assert int(data.y.max()) < OGBN_SPECS["ogbn-products"][3]
+    # split scheme dir is the real one (sales_ranking) and partitions [0, N)
+    assert set(split) == {"train", "valid", "test"}
+    allidx = np.concatenate([split[k] for k in ("train", "valid", "test")])
+    assert np.array_equal(np.sort(allidx), np.arange(N))
+    # graph is usable end-to-end: CSC build + degree sanity
+    indptr, _indices, _perm = __import__(
+        "tch_geometric_tpu.data.storage", fromlist=["to_csc"]).to_csc(
+        data.edge_index, N)
+    assert int(np.asarray(indptr)[-1]) == 240
+
+    # round-trip through the npz fast layout == identical arrays
+    d2 = tmp_path / "npz"
+    d2.mkdir()
+    np.savez(d2 / "graph.npz", x=data.x, edge_index=data.edge_index,
+             y=data.y, train_idx=split["train"], valid_idx=split["valid"],
+             test_idx=split["test"])
+    data2, split2 = load_ogbn_dir(str(d2))
+    np.testing.assert_array_equal(data2.x, data.x)
+    np.testing.assert_array_equal(data2.edge_index, data.edge_index)
+    np.testing.assert_array_equal(data2.y, data.y)
+    for k in split:
+        np.testing.assert_array_equal(split2[k], split[k])
+
+    # schema guard: a wrong num-node-list must fail loudly, not load
+    bad = tmp_path / "bad"
+    shutil.copytree(fix, bad)
+    with gzip.open(bad / "raw" / "num-node-list.csv.gz", "wt") as f:
+        f.write("59\n")
+    with pytest.raises(ValueError, match="num-node-list"):
+        load_ogbn_dir(str(bad))
