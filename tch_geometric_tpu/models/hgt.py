@@ -41,6 +41,7 @@ class HGTConv(nn.Module):
     heads: int = 2
     dtype: Optional[jnp.dtype] = None
     psum_axis: Optional[str] = None
+    stacked_rels: bool = False
 
     @nn.compact
     def __call__(
@@ -72,31 +73,37 @@ class HGTConv(nn.Module):
                             x[t].dtype if self.dtype is None else self.dtype)
                for t in self.node_types}
 
-        for (r, src, dst) in self.rel_specs:
-            if r not in edges:
-                continue
-            rows, cols, valid = edges[r]
-            if rows.shape[0] == 0:
-                continue
-            w_att = self.param(f"w_att_{r}", nn.initializers.lecun_normal(),
-                               (H, d, d))
-            w_msg = self.param(f"w_msg_{r}", nn.initializers.lecun_normal(),
-                               (H, d, d))
-            mu = self.param(f"mu_{r}", nn.initializers.ones, (H,))
+        if self.stacked_rels:
+            out = self._stacked_messages(x, edges, K, Q, V, out, H, d)
+        else:
+            for (r, src, dst) in self.rel_specs:
+                if r not in edges:
+                    continue
+                rows, cols, valid = edges[r]
+                if rows.shape[0] == 0:
+                    continue
+                w_att = self.param(f"w_att_{r}",
+                                   nn.initializers.lecun_normal(),
+                                   (H, d, d))
+                w_msg = self.param(f"w_msg_{r}",
+                                   nn.initializers.lecun_normal(),
+                                   (H, d, d))
+                mu = self.param(f"mu_{r}", nn.initializers.ones, (H,))
 
-            rows_c = jnp.clip(rows, 0, x[src].shape[0] - 1)
-            cols_c = jnp.clip(cols, 0, x[dst].shape[0] - 1)
-            k_e = K[src][rows_c]                       # (E, H, d)
-            q_e = Q[dst][cols_c]
-            v_e = V[src][rows_c]
-            kt = jnp.einsum("ehd,hdf->ehf", k_e, w_att)
-            score = (kt * q_e).sum(-1) * (mu / jnp.sqrt(d))   # (E, H)
-            att = segment_softmax(score, cols_c, x[dst].shape[0],
-                                  mask=valid)          # (E, H)
-            msg = jnp.einsum("ehd,hdf->ehf", v_e, w_msg)
-            msg = msg * att[..., None]
-            msg = jnp.where(valid[:, None, None], msg, 0.0)
-            out[dst] = out[dst] + segment_sum(msg, cols_c, x[dst].shape[0])
+                rows_c = jnp.clip(rows, 0, x[src].shape[0] - 1)
+                cols_c = jnp.clip(cols, 0, x[dst].shape[0] - 1)
+                k_e = K[src][rows_c]                       # (E, H, d)
+                q_e = Q[dst][cols_c]
+                v_e = V[src][rows_c]
+                kt = jnp.einsum("ehd,hdf->ehf", k_e, w_att)
+                score = (kt * q_e).sum(-1) * (mu / jnp.sqrt(d))   # (E, H)
+                att = segment_softmax(score, cols_c, x[dst].shape[0],
+                                      mask=valid)          # (E, H)
+                msg = jnp.einsum("ehd,hdf->ehf", v_e, w_msg)
+                msg = msg * att[..., None]
+                msg = jnp.where(valid[:, None, None], msg, 0.0)
+                out[dst] = out[dst] + segment_sum(msg, cols_c,
+                                                  x[dst].shape[0])
 
         if self.psum_axis is not None:
             out = {t: jax.lax.psum(v, self.psum_axis)
@@ -110,6 +117,83 @@ class HGTConv(nn.Module):
                 h = alpha * h + (1 - alpha) * x[t]
             res[t] = h
         return res
+
+    def _stacked_messages(self, x, edges, K, Q, V, out, H, d):
+        """Relation loop as ONE lax.scan body over stacked edges + stacked
+        per-relation parameters (``stacked_rels=True``) — the model-side
+        half of the partitioned-HGT compile shrink (VERDICT r4 item 4).
+        Same math per relation as the unrolled branch (per-(rel, dst)
+        segment softmax), different parameter layout (ONE (R, H, d, d)
+        ``w_att``/``w_msg`` and (R, H) ``mu`` instead of per-rel names), so
+        checkpoints are not interchangeable across the flag.
+        """
+        specs = [(r, s, t) for (r, s, t) in self.rel_specs
+                 if r in edges and edges[r][0].shape[0] > 0]
+        if not specs:
+            return out
+        R = len(specs)
+        t_index = {t: i for i, t in enumerate(self.node_types)}
+        src_idx = jnp.asarray([t_index[s] for _r, s, _d in specs], jnp.int32)
+        dst_idx = jnp.asarray([t_index[d] for _r, _s, d in specs], jnp.int32)
+        w_att = self.param("w_att", nn.initializers.lecun_normal(),
+                           (R, H, d, d))
+        w_msg = self.param("w_msg", nn.initializers.lecun_normal(),
+                           (R, H, d, d))
+        mu = self.param("mu", nn.initializers.ones, (R, H))
+
+        E_max = max(edges[r][0].shape[0] for r, _s, _d in specs)
+        N_max = max(x[t].shape[0] for t in self.node_types)
+        N_arr = jnp.asarray([x[t].shape[0] for t in self.node_types],
+                            jnp.int32)
+
+        def padE(a, fill=0):
+            return jnp.pad(a, (0, E_max - a.shape[0]), constant_values=fill)
+
+        rows_s = jnp.stack([padE(edges[r][0]) for r, _s, _d in specs])
+        cols_s = jnp.stack([padE(edges[r][1]) for r, _s, _d in specs])
+        val_s = jnp.stack([padE(edges[r][2], False) for r, _s, _d in specs])
+
+        def padN(a):
+            return jnp.pad(a, ((0, N_max - a.shape[0]), (0, 0), (0, 0)))
+
+        K_s = jnp.stack([padN(K[t]) for t in self.node_types])  # (T,Nm,H,d)
+        Q_s = jnp.stack([padN(Q[t]) for t in self.node_types])
+        V_s = jnp.stack([padN(V[t]) for t in self.node_types])
+        out_dtype = next(iter(out.values())).dtype
+        out_s = jnp.zeros((len(self.node_types), N_max, H, d), out_dtype)
+        if self.psum_axis is not None:
+            # stamp the scan carry device-varying (the body consumes the
+            # device's edge block) so shard_map's varying-axis typing of
+            # the carry matches input and output
+            out_s = out_s + jnp.asarray(
+                jax.lax.axis_index(self.psum_axis), out_dtype) * 0
+
+        def body(acc, inp):
+            ri, s_i, d_i, rows, cols, valid = inp
+            n_src = N_arr[s_i]
+            n_dst = N_arr[d_i]
+            rows_c = jnp.clip(rows, 0, n_src - 1)
+            cols_c = jnp.clip(cols, 0, n_dst - 1)
+            k_e = K_s[s_i, rows_c]
+            q_e = Q_s[d_i, cols_c]
+            v_e = V_s[s_i, rows_c]
+            kt = jnp.einsum("ehd,hdf->ehf", k_e, w_att[ri])
+            score = (kt * q_e).sum(-1) * (mu[ri] / jnp.sqrt(d))
+            # mask padded dst slots too: segments run over N_max here
+            ok = valid & (cols < n_dst)
+            att = segment_softmax(score, cols_c, N_max, mask=ok)
+            msg = jnp.einsum("ehd,hdf->ehf", v_e, w_msg[ri])
+            msg = msg * att[..., None]
+            msg = jnp.where(ok[:, None, None], msg, 0.0)
+            agg = segment_sum(msg, cols_c, N_max).astype(acc.dtype)
+            return acc.at[d_i].add(agg), None
+
+        out_s, _ = jax.lax.scan(
+            body, out_s,
+            (jnp.arange(R, dtype=jnp.int32), src_idx, dst_idx,
+             rows_s, cols_s, val_s))
+        return {t: out[t] + out_s[t_index[t], : x[t].shape[0]]
+                for t in self.node_types}
 
 
 class HGT(nn.Module):
@@ -129,6 +213,7 @@ class HGT(nn.Module):
     heads: int = 2
     dtype: Optional[jnp.dtype] = None
     psum_axis: Optional[str] = None
+    stacked_rels: bool = False
 
     @nn.compact
     def __call__(self, x: Dict[str, jax.Array], edges) -> jax.Array:
@@ -138,5 +223,6 @@ class HGT(nn.Module):
             h = HGTConv(self.hidden, self.node_types, self.rel_specs,
                         heads=self.heads, dtype=self.dtype,
                         psum_axis=self.psum_axis,
+                        stacked_rels=self.stacked_rels,
                         name=f"hgt{i}")(h, edges)
         return nn.Dense(self.out, dtype=self.dtype, name="head")(h[self.out_type])

@@ -814,11 +814,21 @@ def _gat_packed_vec_kernel(chunk_block_ref, lr_lane_ref, g_ref, ad_ref,
     first = jnp.logical_or(t == 0, blk != prev_blk)
 
     g = g_ref[0]                                         # (C, H*D)
-    asrc = jax.lax.dot_general(
-        g.astype(jnp.float32), avec_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=sel_prec,
-        preferred_element_type=jnp.float32)              # (C, H)
+    if sel_prec is None:
+        # bf16 fast path: project in the gathered dtype (no (C, H*D) f32
+        # upcast pass, bf16 MXU) — the projection error is inside the bf16
+        # rounding the caller accepted (measured -1.1 ms of the r4 kernel's
+        # S1 stage, scripts/micro_gat_stage_decomp.py)
+        asrc = jax.lax.dot_general(
+            g, avec_ref[:].astype(g.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (C, H)
+    else:
+        asrc = jax.lax.dot_general(
+            g.astype(jnp.float32), avec_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=sel_prec,
+            preferred_element_type=jnp.float32)          # (C, H)
     _gat_packed_core(lr_lane_ref, g, asrc, ad_ref, out_ref, m_ref, z_ref,
                      first, heads=heads, negative_slope=negative_slope,
                      sel_prec=sel_prec)
@@ -845,24 +855,24 @@ def _gat_packed_core(lr_lane_ref, g_feat, asrc, ad_ref, out_ref, m_ref,
     ohTf = ohT.astype(jnp.float32)
     g = g_feat
 
-    # per-edge alpha_dst for every head + lane-claimed flag, in ONE NT
-    # matmul: [ad | 1] selected through the one-hot (exact: each lane has
-    # at most one claiming row)
-    adw = jnp.concatenate(
-        [ad_ref[:], jnp.ones((W, 1), jnp.float32)], axis=1)   # (W, H+1)
+    # per-edge alpha_dst for every head in ONE NT matmul (exact: each lane
+    # has at most one claiming row).  No claimed-lane masking anywhere:
+    # padding lanes carry real node-0 features (same value distribution, so
+    # the chunk max stays in range), the one-hot contraction zero-weights
+    # them in BOTH ``part`` and ``z_c``, and M cancels exactly in
+    # att = out/z — the r4 kernel's claimed column + its three masked
+    # (C, H) passes were pure overhead (the stats stage measured +2.87 ms,
+    # scripts/micro_gat_stage_decomp.py; narrow (C, H) VPU passes cost
+    # ~E/8 vector ops each regardless of the 124 idle lanes)
     sel = jax.lax.dot_general(
-        ohTf, adw, dimension_numbers=(((0,), (0,)), ((), ())),
+        ohTf, ad_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
         precision=sel_prec,
-        preferred_element_type=jnp.float32)              # (C, H+1)
-    ad_e = sel[:, :H]
-    claimed = sel[:, H:]                                 # (C, 1)
+        preferred_element_type=jnp.float32)              # (C, H)
 
-    s = asrc + ad_e
+    s = asrc + sel
     s = jnp.where(s > 0, s, negative_slope * s)          # leaky_relu (C, H)
-    s_m = jnp.where(claimed > 0, s, NEG_INF)
-    M = jnp.max(s_m, axis=0, keepdims=True)              # (1, H)
-    M = jnp.where(jnp.isfinite(M), M, 0.0)
-    E = jnp.where(claimed > 0, jnp.exp(s - M), 0.0)      # (C, H) <= 1
+    M = jnp.max(s, axis=0, keepdims=True)                # (1, H), finite
+    E = jnp.exp(s - M)                                   # (C, H) <= 1
 
     # expand the per-head weights over each head's D feature lanes with a
     # constant one-hot (reshape-free, same trick as _gat_flash_kernel)
@@ -871,7 +881,13 @@ def _gat_packed_core(lr_lane_ref, g_feat, asrc, ad_ref, out_ref, m_ref,
     expand = (col_head == head_row).astype(jnp.float32)  # (H, H*D)
     e_wide = jnp.dot(E, expand, precision=sel_prec,
                      preferred_element_type=jnp.float32)  # (C, H*D)
-    rhs = (g.astype(jnp.float32) * e_wide).astype(g.dtype)
+    if sel_prec is None:
+        # bf16 fast path: scale in the gathered dtype — skips the f32
+        # upcast/downcast streams over the (C, H*D) tile (the S4 stage's
+        # measured cost); the weight rounding is inside bf16 tolerance
+        rhs = g * e_wide.astype(g.dtype)
+    else:
+        rhs = (g.astype(jnp.float32) * e_wide).astype(g.dtype)
     part = jnp.dot(ohT.astype(g.dtype), rhs, precision=sel_prec,
                    preferred_element_type=jnp.float32)   # (W, H*D)
     z_c = jnp.dot(ohTf, E, precision=sel_prec,

@@ -42,6 +42,7 @@ from typing import Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -84,6 +85,113 @@ def _pad_to(x, n, fill=0):
     out = np.full((n,), fill, x.dtype)
     out[: x.shape[0]] = x
     return out
+
+
+@struct.dataclass
+class StackedRels:
+    """All relations' :class:`PartitionedGraph` arrays stacked on a leading
+    relation axis (padded to common shapes) — the ``lax.scan``-able form
+    that collapses the per-relation HLO unroll (VERDICT r4 item 4: the
+    partitioned-HGT program's op count is linear in #relations; one scanned
+    body compiles once instead of R times).
+
+    The owner-block axis stays FIRST (relation axis second) so the same
+    ``PartitionSpec(axis)`` that shards a per-relation dict shards this
+    container — trainers and samplers need no spec changes.  Inside
+    shard_map each device sees ``(Np, R, ...)`` blocks.  Optional
+    attribute groups (ell / timestamps) must be uniformly present or
+    absent across relations — :func:`stack_partitioned_rels` enforces
+    (dropping ELL for all when mixed).
+    """
+
+    ldeg: jax.Array       # (P*Np, R) i32
+    lstart: jax.Array     # (P*Np, R)
+    gstart: jax.Array     # (P*Np, R)
+    lindices: jax.Array   # (P*Emax, R)
+    ell: Optional[jax.Array] = None      # (P*Np, R, W)
+    lts: Optional[jax.Array] = None     # (P*Emax, R)
+    ell_ts: Optional[jax.Array] = None   # (P*Np, R, W-2)
+    num_rels: int = struct.field(pytree_node=False, default=0)
+    num_parts: int = struct.field(pytree_node=False, default=1)
+    rows_per_part: int = struct.field(pytree_node=False, default=0)
+    local_edge_cap: int = struct.field(pytree_node=False, default=0)
+    max_degree: int = struct.field(pytree_node=False, default=0)
+
+
+def stack_partitioned_rels(rels: Dict[str, PartitionedGraph],
+                           rel_order: Sequence[str]) -> StackedRels:
+    """Host-side: stack per-relation graphs into one padded pytree.
+
+    ``rel_order`` fixes the relation axis (use the sorted rel_specs order
+    the sampler iterates).  Padding: rows/edges per owner block to the max
+    across relations (padded rows have degree 0 — never sampled), ELL
+    width to the max (deg/start stay in the trailing two lanes).
+    """
+    gs = [rels[r] for r in rel_order]
+    Pn = gs[0].num_parts
+    assert all(g.num_parts == Pn for g in gs)
+    R = len(gs)
+    Npm = max(g.rows_per_part for g in gs)
+    Em = max(g.local_edge_cap for g in gs)
+    has_ell = all(g.ell is not None for g in gs)
+    has_ts = all(g.lts is not None for g in gs)
+    Wm = max((np.asarray(g.ell).shape[1] for g in gs), default=0) \
+        if has_ell else 0
+
+    def blocks(a, n_r, n_m, fill=0):
+        a = np.asarray(a).reshape(Pn, n_r, *np.asarray(a).shape[1:])
+        out = np.full((Pn, n_m) + a.shape[2:], fill, a.dtype)
+        out[:, :n_r] = a
+        return out.reshape((Pn * n_m,) + a.shape[2:])
+
+    ldeg = np.stack([blocks(g.ldeg, g.rows_per_part, Npm)
+                     for g in gs], axis=1)
+    lstart = np.stack([blocks(g.lstart, g.rows_per_part, Npm)
+                       for g in gs], axis=1)
+    gstart = np.stack([blocks(g.gstart, g.rows_per_part, Npm)
+                       for g in gs], axis=1)
+    lind = np.stack([blocks(g.lindices, g.local_edge_cap, Em)
+                     for g in gs], axis=1)
+    lts = (np.stack([blocks(g.lts, g.local_edge_cap, Em,
+                            fill=NAN_TIMESTAMP) for g in gs], axis=1)
+           if has_ts else None)
+    ell = ell_ts = None
+    if has_ell:
+        rows = []
+        for g in gs:
+            e = blocks(g.ell, g.rows_per_part, Npm)     # (P*Npm, W_r)
+            W_r = e.shape[1]
+            out = np.zeros((e.shape[0], Wm), e.dtype)
+            out[:, : W_r - 2] = e[:, : W_r - 2]
+            out[:, -2] = e[:, -2]
+            out[:, -1] = e[:, -1]
+            rows.append(out)
+        ell = np.stack(rows, axis=1)
+        if has_ts and all(g.ell_ts is not None for g in gs):
+            rows = []
+            for g in gs:
+                e = blocks(g.ell_ts, g.rows_per_part, Npm,
+                           fill=NAN_TIMESTAMP)
+                out = np.full((e.shape[0], Wm - 2), NAN_TIMESTAMP, e.dtype)
+                out[:, : e.shape[1]] = e
+                rows.append(out)
+            ell_ts = np.stack(rows, axis=1)
+    return StackedRels(
+        ldeg=ldeg, lstart=lstart, gstart=gstart, lindices=lind, ell=ell,
+        lts=lts, ell_ts=ell_ts, num_rels=R, num_parts=Pn, rows_per_part=Npm,
+        local_edge_cap=Em, max_degree=max(g.max_degree for g in gs))
+
+
+def put_stacked_rels(rels: Dict[str, PartitionedGraph],
+                     rel_order: Sequence[str], mesh: Mesh,
+                     axis: str = "data") -> StackedRels:
+    """Stack host-side and device_put sharded ``P(axis)`` (same spec as
+    the per-relation dict: the owner-block axis is first)."""
+    from jax.sharding import NamedSharding
+    stk = stack_partitioned_rels(rels, rel_order)
+    sh = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(jnp.asarray(a), sh), stk)
 
 
 def _owner_subset(g: PartitionedGraph, keys, rows, M: int):
@@ -134,8 +242,381 @@ def _scatter_route(payload, owner, valid, apply_fn, state, *, axis,
     return state, (valid & ~carried).sum()
 
 
-def _dist_hgt_device(key, rels: Dict[str, PartitionedGraph], seeds, seed_ts,
-                     *, dev, meta, axis: str):
+def _owner_subset_at(stk: StackedRels, ri, keys, rows, M: int):
+    """Stacked twin of :func:`_owner_subset`: arrays carry a leading
+    relation axis, ``ri`` a (traced) relation index — 2-D advanced
+    indexing instead of a per-relation array copy."""
+    B = rows.shape[0]
+    if stk.ell is not None:
+        row = stk.ell[rows, ri]
+        lanes, deg, starts = row[:, :-2], row[:, -2], row[:, -1]
+        pos, ok = _uid_uniform_lane_topk(keys, deg, lanes.shape[-1], M)
+        cpos = jnp.clip(pos, 0, lanes.shape[-1] - 1)
+        src = _select_lanes(lanes, cpos)
+        eptr = starts[:, None] + pos
+        ets = (_select_lanes(stk.ell_ts[rows, ri], cpos)
+               if stk.ell_ts is not None
+               else jnp.full((B, M), NAN_TIMESTAMP, jnp.int32))
+    else:
+        deg = stk.ldeg[rows, ri]
+        pos, ok = _uid_floyd(keys, deg, M)
+        pos, ok = pos.reshape(-1, M), ok.reshape(-1, M)
+        lptr = jnp.clip(stk.lstart[rows, ri][:, None] + pos, 0,
+                        stk.lindices.shape[0] - 1)
+        src = stk.lindices[lptr, ri]
+        eptr = stk.gstart[rows, ri][:, None] + pos
+        ets = (stk.lts[lptr, ri] if stk.lts is not None
+               else jnp.full((B, M), NAN_TIMESTAMP, jnp.int32))
+    ncount = jnp.minimum(deg, M)
+    return src, eptr, ets, ok, ncount
+
+
+def _dist_hgt_device_stacked(key, stk: StackedRels, seeds, seed_ts, *,
+                             dev, meta, axis: str):
+    """Scan-over-relations twin of :func:`_dist_hgt_device` (VERDICT r4
+    item 4): the per-relation exchange bodies compile ONCE as lax.scan
+    bodies over :class:`StackedRels` instead of unrolling R times, cutting
+    the program's op count from ~linear in #relations to ~constant.
+
+    Law: draws are keyed identically (fold(key, phase, ri) + global slot
+    uid), so outputs are bit-identical to the unrolled path whenever
+    neither plan overflows (pinned by tests/test_dist_hgt.py::
+    test_stacked_matches_unrolled); capacities use the max slice width
+    across relations (>= the unrolled per-relation capacities, so the
+    stacked plan can only overflow less).
+    """
+    (node_types, rel_specs, num_samples_t, num_hops, timerange,
+     node_counts_t, seed_caps_t, capacity_factor, num_rounds, Pn) = meta
+    num_samples = dict(num_samples_t)
+    node_counts = dict(node_counts_t)
+    seed_caps = dict(seed_caps_t)
+    M = MAX_NEIGHBORS
+    T = len(node_types)
+    R = len(rel_specs)
+    t_index = {t: i for i, t in enumerate(node_types)}
+    src_idx = jnp.asarray([t_index[s] for _r, s, _d in rel_specs],
+                          jnp.int32)
+    dst_idx = jnp.asarray([t_index[d] for _r, _s, d in rel_specs],
+                          jnp.int32)
+    counts_arr = jnp.asarray([node_counts[t] for t in node_types],
+                             jnp.int32)
+
+    def cap_for(L):
+        return max(1, min(int(np.ceil(capacity_factor * L / Pn)), L))
+
+    # ---- sharded budget tables, stacked (T, Npm) ----
+    Np = {t: -(-node_counts[t] // Pn) if node_counts[t] else 1
+          for t in node_types}
+    Npm = max(Np.values())
+    Np_arr = jnp.asarray([Np[t] for t in node_types], jnp.int32)
+    # `+ dev * 0` stamps the tables as device-varying from birth so the
+    # lax.scan carries type-check under shard_map's varying-axis system
+    # (the bodies are dev-dependent; an unvarying init would mismatch)
+    dv = jnp.asarray(dev, jnp.int32) * 0
+    score = jnp.zeros((T, Npm), jnp.int32) + dv
+    btime = jnp.full((T, Npm), NAN_TIMESTAMP, jnp.int32) + dv
+    in_sample = jnp.zeros((T, Npm), jnp.bool_) | (dv != 0)
+    local_id = jnp.zeros((T, Npm), jnp.int32) + dv
+    gid_row = jnp.arange(Npm, dtype=jnp.int32) * Pn + dev   # (Npm,)
+
+    # ---- replicated output lists (dicts, as in the unrolled path) ----
+    caps = {t: [seed_caps[t]] + [num_samples[t][l] for l in range(num_hops)]
+            for t in node_types}
+    base = {t: np.cumsum([0] + caps[t]).tolist() for t in node_types}
+    nodes, node_ts, node_valid = {}, {}, {}
+    for ti, t in enumerate(node_types):
+        C = base[t][-1]
+        n = jnp.zeros((C,), jnp.int32)
+        ts_ = jnp.full((C,), NAN_TIMESTAMP, jnp.int32)
+        val = jnp.zeros((C,), jnp.bool_)
+        if seed_caps[t]:
+            n = n.at[: seed_caps[t]].set(seeds[t])
+            ts_ = ts_.at[: seed_caps[t]].set(seed_ts[t])
+            val = val.at[: seed_caps[t]].set(seeds[t] >= 0)
+        nodes[t], node_ts[t], node_valid[t] = n, ts_, val
+        if seed_caps[t]:
+            mine = (seeds[t] % Pn == dev) & (seeds[t] >= 0)
+            loc = jnp.where(mine, seeds[t] // Pn, Npm)
+            in_sample = in_sample.at[ti, loc].set(True, mode="drop")
+            local_id = local_id.at[ti, loc].set(
+                jnp.arange(seed_caps[t], dtype=jnp.int32), mode="drop")
+
+    overflow = jnp.zeros((), jnp.int32)
+
+    def _stack_typed(d, fill, m_max):
+        outs = []
+        for t in node_types:
+            v = d[t]
+            outs.append(jnp.pad(v.astype(jnp.int32),
+                                (0, m_max - v.shape[0]),
+                                constant_values=fill))
+        return jnp.stack(outs)
+
+    def update_budget(upd_key, new_nodes, new_ts, new_valid):
+        """rs:27-102: ONE scanned body over the relation axis."""
+        nonlocal score, btime, overflow
+        m_max = max(v.shape[0] for v in new_nodes.values())
+        if m_max == 0 or R == 0:
+            return
+        mp_max = m_max // Pn
+        m_arr = jnp.asarray([new_nodes[t].shape[0] for t in node_types],
+                            jnp.int32)
+        nn = _stack_typed(new_nodes, 0, m_max)           # (T, m_max)
+        nts = _stack_typed(new_ts, NAN_TIMESTAMP, m_max)
+        nok = jnp.stack([jnp.pad(new_valid[t],
+                                 (0, m_max - new_valid[t].shape[0]))
+                         for t in node_types])
+        cap1 = cap_for(mp_max)
+        cap2 = cap_for(mp_max * M)
+        lane = jnp.arange(mp_max, dtype=jnp.int32)
+
+        def body(carry, ri):
+            sc, bt, ovf_c = carry
+            src_i, dst_i = src_idx[ri], dst_idx[ri]
+            mp_r = m_arr[dst_i] // Pn
+            off = dev * mp_r
+            tgt = jax.lax.dynamic_slice(nn, (dst_i, off), (1, mp_max))[0]
+            tts = jax.lax.dynamic_slice(nts, (dst_i, off), (1, mp_max))[0]
+            tok = jax.lax.dynamic_slice(nok, (dst_i, off),
+                                        (1, mp_max))[0] & (lane < mp_r)
+            uid = off + lane
+            dmax = jnp.maximum(counts_arr[dst_i] - 1, 0)
+            gid = jnp.clip(tgt, 0, dmax)
+            owner = (gid % Pn).astype(jnp.int32)
+            local = (gid // Pn).astype(jnp.int32)
+            rk = rng.fold(upd_key, ri)
+
+            def owner_fn(recv):
+                Pm, C, _ = recv.shape
+                rows = jnp.clip(recv[..., 0].reshape(-1), 0, Npm - 1)
+                uids = recv[..., 1].reshape(-1).astype(jnp.uint32)
+                t_ts = recv[..., 2].reshape(-1)
+                keys = _uid_keys(rk, uids)
+                srcs, _eptr, ets, ok, ncount = _owner_subset_at(
+                    stk, ri, keys, rows, M)
+                vts = jnp.where(ets == NAN_TIMESTAMP, t_ts[:, None], ets)
+                if timerange is not None:
+                    lo, hi = timerange
+                    ok = ok & ((vts == NAN_TIMESTAMP)
+                               | ((vts >= lo) & (vts < hi)))
+                srcs = jnp.where(ok, srcs, -1)
+                out = jnp.concatenate([srcs, vts, ncount[:, None]],
+                                      axis=-1)
+                return out.reshape(Pm, C, 2 * M + 1)
+
+            payload = jnp.stack([local, uid, tts], axis=-1)
+            res, got, ovf = exchange_rounds(
+                payload, owner, tok, owner_fn, axis=axis, num_parts=Pn,
+                capacity=cap1, num_rounds=num_rounds, ret_cols=2 * M + 1)
+            srcs = res[:, :M]
+            vts = res[:, M: 2 * M]
+            ncount = res[:, 2 * M]
+            cok = (srcs >= 0) & got[:, None]
+
+            fsrc = srcs.reshape(-1)
+            fvts = vts.reshape(-1)
+            fnc = jnp.broadcast_to(ncount[:, None],
+                                   (mp_max, M)).reshape(-1)
+            fok = cok.reshape(-1)
+            smax = jnp.maximum(counts_arr[src_i] - 1, 0)
+            sgid = jnp.clip(fsrc, 0, smax)
+            sowner = (sgid % Pn).astype(jnp.int32)
+            slocal = (sgid // Pn).astype(jnp.int32)
+
+            def apply_fn(state, recv, in_round):
+                sc_, bt_ = state
+                loc = recv[..., 0].reshape(-1)
+                nc = recv[..., 1].reshape(-1)
+                ts_ = recv[..., 2].reshape(-1)
+                ok = in_round.reshape(-1)
+                ok = ok & ~in_sample[src_i, jnp.clip(loc, 0, Npm - 1)]
+                idx = jnp.where(ok, loc, Npm)            # drop lane
+                contrib = jnp.where(ok, SCORE_ONE // jnp.maximum(nc, 1), 0)
+                sc_ = sc_.at[src_i, idx].add(contrib, mode="drop")
+                bt_ = bt_.at[src_i, idx].max(ts_, mode="drop")
+                return sc_, bt_
+
+            pay2 = jnp.stack([slocal, fnc, fvts], axis=-1)
+            (sc, bt), ovf2 = _scatter_route(
+                pay2, sowner, fok, apply_fn, (sc, bt), axis=axis,
+                num_parts=Pn, capacity=cap2, num_rounds=num_rounds)
+            return (sc, bt, ovf_c + ovf + ovf2), None
+
+        (score, btime, ovf_new), _ = jax.lax.scan(
+            body, (score, btime, jnp.zeros((), jnp.int32) + dv),
+            jnp.arange(R, dtype=jnp.int32))
+        overflow = overflow + ovf_new
+
+    # ---- seed budget init (rs:183-196) ----
+    update_budget(rng.fold(key, 0),
+                  {t: nodes[t][: seed_caps[t]] for t in node_types},
+                  {t: node_ts[t][: seed_caps[t]] for t in node_types},
+                  {t: node_valid[t][: seed_caps[t]] for t in node_types})
+
+    # ---- per-hop distributed score^2 sampling (unrolled over T: small) --
+    for layer in range(num_hops):
+        new_nodes, new_ts_d, new_valid = {}, {}, {}
+        for ti, t in enumerate(node_types):
+            n = num_samples[t][layer]
+            if n == 0 or node_counts[t] == 0:
+                z = jnp.zeros((n,), jnp.int32)
+                new_nodes[t] = z
+                new_ts_d[t] = jnp.full((n,), NAN_TIMESTAMP, jnp.int32)
+                new_valid[t] = jnp.zeros((n,), bool)
+                continue
+            Npt = Np[t]
+            sc_t = score[ti, :Npt]
+            bt_t = btime[ti, :Npt]
+            gid_t = gid_row[:Npt]
+            tkey = rng.fold(key, 1, layer, ti)
+            noise = jax.vmap(lambda g: jax.random.gumbel(
+                jax.random.fold_in(tkey, g), (), jnp.float32))(
+                    gid_t.astype(jnp.uint32))
+            live = (sc_t > 0) & (gid_t < node_counts[t])
+            logits = jnp.where(
+                live,
+                2.0 * jnp.log(jnp.maximum(sc_t.astype(jnp.float32), 1.0))
+                + noise,
+                NEG_INF)
+            k_loc = min(n, Npt)
+            lv, li = jax.lax.top_k(logits, k_loc)
+            cand_gid = gid_t[li]
+            cand_ts = bt_t[li]
+            av = jax.lax.all_gather(lv, axis).reshape(-1)
+            ag = jax.lax.all_gather(cand_gid, axis).reshape(-1)
+            at = jax.lax.all_gather(cand_ts, axis).reshape(-1)
+            gv, gi = jax.lax.top_k(av, n)
+            valid = jnp.isfinite(gv)
+            chosen = jnp.where(valid, ag[gi], 0)
+            chosen_ts = jnp.where(valid, at[gi], NAN_TIMESTAMP)
+            new_nodes[t], new_ts_d[t], new_valid[t] = (chosen, chosen_ts,
+                                                       valid)
+
+            slot = base[t][layer + 1] + jnp.arange(n, dtype=jnp.int32)
+            nodes[t] = nodes[t].at[slot].set(chosen)
+            node_ts[t] = node_ts[t].at[slot].set(chosen_ts)
+            node_valid[t] = node_valid[t].at[slot].set(valid)
+            mine = valid & (chosen % Pn == dev)
+            loc = jnp.where(mine, chosen // Pn, Npm)
+            score = score.at[ti, loc].set(0, mode="drop")
+            in_sample = in_sample.at[ti, loc].set(True, mode="drop")
+            local_id = local_id.at[ti, loc].set(slot, mode="drop")
+
+        if layer < num_hops - 1:
+            update_budget(rng.fold(key, 2, layer), new_nodes, new_ts_d,
+                          new_valid)
+
+    # ---- induced adjacency (rs:244-268): ONE scanned body over R ----
+    C_max = max((base[t][-1] for t in node_types), default=0)
+    Cp_max = C_max // Pn if C_max else 0
+    rows_o, cols_o, eptr_o, ev_o = {}, {}, {}, {}
+    if R and Cp_max:
+        C_arr = jnp.asarray([base[t][-1] for t in node_types], jnp.int32)
+        nodes_stk = _stack_typed(nodes, 0, C_max)
+        nv_stk = jnp.stack([jnp.pad(node_valid[t],
+                                    (0, C_max - node_valid[t].shape[0]))
+                            for t in node_types])
+        cap_a = cap_for(Cp_max)
+        cap_m = cap_for(Cp_max * M)
+        lane = jnp.arange(Cp_max, dtype=jnp.int32)
+
+        def adj_body(ovf_c, ri):
+            src_i, dst_i = src_idx[ri], dst_idx[ri]
+            Cp_r = C_arr[dst_i] // Pn
+            off = dev * Cp_r
+            tgt = jax.lax.dynamic_slice(nodes_stk, (dst_i, off),
+                                        (1, Cp_max))[0]
+            tok = jax.lax.dynamic_slice(nv_stk, (dst_i, off),
+                                        (1, Cp_max))[0] & (lane < Cp_r)
+            uid = off + lane
+            dmax = jnp.maximum(counts_arr[dst_i] - 1, 0)
+            gid = jnp.clip(tgt, 0, dmax)
+            owner = (gid % Pn).astype(jnp.int32)
+            local = (gid // Pn).astype(jnp.int32)
+            rk = rng.fold(key, 3, ri)
+
+            def adj_owner_fn(recv):
+                Pm, Cc, _ = recv.shape
+                rows = jnp.clip(recv[..., 0].reshape(-1), 0, Npm - 1)
+                uids = recv[..., 1].reshape(-1).astype(jnp.uint32)
+                keys = _uid_keys(rk, uids)
+                srcs, eptr, _ets, ok, _nc = _owner_subset_at(
+                    stk, ri, keys, rows, M)
+                srcs = jnp.where(ok, srcs, -1)
+                return jnp.concatenate([srcs, eptr], axis=-1).reshape(
+                    Pm, Cc, 2 * M)
+
+            payload = jnp.stack([local, uid], axis=-1)
+            res, got, ovf = exchange_rounds(
+                payload, owner, tok, adj_owner_fn, axis=axis,
+                num_parts=Pn, capacity=cap_a, num_rounds=num_rounds,
+                ret_cols=2 * M)
+            srcs = res[:, :M]
+            eptr = res[:, M:]
+            cok = (srcs >= 0) & got[:, None]
+
+            fsrc = srcs.reshape(-1)
+            fok = cok.reshape(-1)
+            smax = jnp.maximum(counts_arr[src_i] - 1, 0)
+            sgid = jnp.clip(fsrc, 0, smax)
+            sowner = (sgid % Pn).astype(jnp.int32)
+            slocal = (sgid // Pn).astype(jnp.int32)
+
+            def mem_owner_fn(recv):
+                Pm, Cc, _ = recv.shape
+                loc = jnp.clip(recv[..., 0].reshape(-1), 0, Npm - 1)
+                flag = in_sample[src_i, loc]
+                lid = local_id[src_i, loc]
+                return jnp.stack([flag.astype(jnp.int32), lid],
+                                 axis=-1).reshape(Pm, Cc, 2)
+
+            res2, got2, ovf2 = exchange_rounds(
+                jnp.stack([slocal], axis=-1), sowner, fok, mem_owner_fn,
+                axis=axis, num_parts=Pn, capacity=cap_m,
+                num_rounds=num_rounds, ret_cols=2)
+            keep = fok & got2 & (res2[:, 0] != 0)
+            out_rows = jnp.where(keep, res2[:, 1], 0)
+            out_cols = jnp.broadcast_to(uid[:, None],
+                                        (Cp_max, M)).reshape(-1)
+            out_eptr = eptr.reshape(-1)
+            return ovf_c + ovf + ovf2, (out_rows, out_cols, out_eptr, keep)
+
+        ovf_new, (rows_s, cols_s, eptr_s, keep_s) = jax.lax.scan(
+            adj_body, jnp.zeros((), jnp.int32) + dv,
+            jnp.arange(R, dtype=jnp.int32))
+        overflow = overflow + ovf_new
+        for ri, (r, src, dst) in enumerate(rel_specs):
+            C = base[dst][-1]
+            if C == 0 or node_counts[dst] == 0 or node_counts[src] == 0:
+                z = jnp.zeros((0,), jnp.int32)
+                rows_o[r], cols_o[r], eptr_o[r] = z, z, z
+                ev_o[r] = jnp.zeros((0,), bool)
+                continue
+            n_r = (C // Pn) * M
+            rows_o[r] = rows_s[ri, :n_r]
+            cols_o[r] = cols_s[ri, :n_r]
+            eptr_o[r] = eptr_s[ri, :n_r]
+            ev_o[r] = keep_s[ri, :n_r]
+    else:
+        for r, _s, _d in rel_specs:
+            z = jnp.zeros((0,), jnp.int32)
+            rows_o[r], cols_o[r], eptr_o[r] = z, z, z
+            ev_o[r] = jnp.zeros((0,), bool)
+
+    return (nodes, node_ts, node_valid, rows_o, cols_o, eptr_o, ev_o,
+            overflow)
+
+
+def _dist_hgt_device(key, rels, seeds, seed_ts, *, dev, meta, axis: str):
+    if isinstance(rels, StackedRels):
+        return _dist_hgt_device_stacked(key, rels, seeds, seed_ts, dev=dev,
+                                        meta=meta, axis=axis)
+    return _dist_hgt_device_unrolled(key, rels, seeds, seed_ts, dev=dev,
+                                     meta=meta, axis=axis)
+
+
+def _dist_hgt_device_unrolled(key, rels: Dict[str, PartitionedGraph],
+                              seeds, seed_ts, *, dev, meta, axis: str):
     (node_types, rel_specs, num_samples_t, num_hops, timerange,
      node_counts_t, seed_caps_t, capacity_factor, num_rounds, Pn) = meta
     num_samples = dict(num_samples_t)
@@ -401,7 +882,8 @@ def dist_hgt_sample(key, rels: Dict[str, PartitionedGraph], edge_types,
                     timerange: Optional[Tuple[int, int]] = None,
                     node_types: Optional[Sequence[str]] = None,
                     axis: str = "data", capacity_factor: float = 2.0,
-                    num_rounds: Optional[int] = None):
+                    num_rounds: Optional[int] = None,
+                    stacked: bool = True):
     """Distributed HGT sampling (public entry point).
 
     Inputs mirror :func:`~..sampling.hgt.sample_hgt`; ``rels`` from
@@ -444,11 +926,15 @@ def dist_hgt_sample(key, rels: Dict[str, PartitionedGraph], edge_types,
             tuple(sorted(seed_caps.items())), float(capacity_factor),
             resolve_num_rounds(num_rounds, Pn), Pn)
 
-    run = _dist_hgt_fn(mesh, axis, meta)
+    run = _dist_hgt_fn(mesh, axis, meta, bool(stacked))
     from .multihost import put_partitioned
     with mesh:
-        rels_put = {r: put_partitioned(rels[r], mesh, P(axis))
-                    for r, _s, _d in rel_specs}
+        if stacked:
+            rels_put = put_stacked_rels(rels, [r for r, _s, _d in rel_specs],
+                                        mesh, axis)
+        else:
+            rels_put = {r: put_partitioned(rels[r], mesh, P(axis))
+                        for r, _s, _d in rel_specs}
         seeds_put = {t: put_partitioned(
             jnp.asarray(np.tile(seeds_p[t], (Pn, 1))), mesh, P(axis))
             for t in node_types}
@@ -465,7 +951,7 @@ def dist_hgt_sample(key, rels: Dict[str, PartitionedGraph], edge_types,
 
 
 @functools.lru_cache(maxsize=64)
-def _dist_hgt_fn(mesh, axis, meta):
+def _dist_hgt_fn(mesh, axis, meta, stacked: bool = False):
     repl, shard = P(), P(axis)
 
     @jax.jit
