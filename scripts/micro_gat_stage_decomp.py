@@ -57,6 +57,25 @@ def make_stage_kernel(stage: int, heads: int):
 
         z_extra = jnp.zeros((W, Hh), jnp.float32)
         E_w = None
+        if stage == -1:
+            # pure stream: read the gathered block, cheapest reduction,
+            # same output tiles — the floor for ANY pallas consumer of the
+            # materialized gather (gather writes 1.07 GB; kernel re-reads)
+            part = jnp.broadcast_to(
+                g.astype(jnp.float32).sum(axis=0, keepdims=True),
+                (W, g.shape[-1]))
+
+            @pl.when(first)
+            def _():
+                out_ref[:] = part
+                m_ref[:] = jnp.zeros((W, Hh), jnp.float32)
+                z_ref[:] = z_extra
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                out_ref[:] = out_ref[:] + part
+                z_ref[:] = z_ref[:] + z_extra
+            return
         if stage >= 1:
             asrc = jax.lax.dot_general(
                 g.astype(jnp.float32), avec_ref[:],
@@ -180,10 +199,11 @@ def main():
     print(f"pure aligned gather: {t_g:.2f} ms")
 
     prev = None
-    names = ["S0 one-hot contraction", "S1 + asrc projection",
-             "S2 + alpha_dst select", "S3 + stats/exp",
-             "S4 + head-expand + f32 scale (full)"]
-    for stage in range(5):
+    names = {-1: "S-1 pure kernel stream (gather + block re-read)",
+             0: "S0 one-hot contraction", 1: "S1 + asrc projection",
+             2: "S2 + alpha_dst select", 3: "S3 + stats/exp",
+             4: "S4 + head-expand + f32 scale (full)"}
+    for stage in range(-1, 5):
         t = bench(functools.partial(run_stage, b, stage=stage),
                   hw, ad, avec)
         delta = "" if prev is None else f"  (+{t - prev:.2f})"
