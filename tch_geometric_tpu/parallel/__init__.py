@@ -15,7 +15,9 @@ from .dist_walks import (dist_biased_tempo_random_walk, dist_random_walk,
                          dist_tempo_random_walk, effective_edge_ts)
 from .dist_budget import (dist_budget_sample,
                           dist_budget_sample_hetero)
-from .dist_hgt import build_partitioned_hetero, dist_hgt_sample
+from .dist_hgt import (StackedRels, build_partitioned_hetero,
+                       dist_hgt_sample, put_stacked_rels,
+                       stack_partitioned_rels)
 from .dist_hetero import dist_hetero_neighbor_sample
 from .dist_negative import dist_negative_sample, dist_negative_sample_hetero
 from . import multihost
