@@ -156,9 +156,13 @@ class HGTConv(nn.Module):
         def padN(a):
             return jnp.pad(a, ((0, N_max - a.shape[0]), (0, 0), (0, 0)))
 
-        K_s = jnp.stack([padN(K[t]) for t in self.node_types])  # (T,Nm,H,d)
-        Q_s = jnp.stack([padN(Q[t]) for t in self.node_types])
-        V_s = jnp.stack([padN(V[t]) for t in self.node_types])
+        # flat (T*N_max, H, d): per-edge fetches use ONE flattened index
+        # (type * N_max + slot) so they stay on the gather engine's fast
+        # single-level row path (2-D advanced indexing measured 2.2x
+        # slower at hetero bench scale)
+        K_s = jnp.concatenate([padN(K[t]) for t in self.node_types])
+        Q_s = jnp.concatenate([padN(Q[t]) for t in self.node_types])
+        V_s = jnp.concatenate([padN(V[t]) for t in self.node_types])
         out_dtype = next(iter(out.values())).dtype
         out_s = jnp.zeros((len(self.node_types), N_max, H, d), out_dtype)
         if self.psum_axis is not None:
@@ -174,9 +178,9 @@ class HGTConv(nn.Module):
             n_dst = N_arr[d_i]
             rows_c = jnp.clip(rows, 0, n_src - 1)
             cols_c = jnp.clip(cols, 0, n_dst - 1)
-            k_e = K_s[s_i, rows_c]
-            q_e = Q_s[d_i, cols_c]
-            v_e = V_s[s_i, rows_c]
+            k_e = K_s[s_i * N_max + rows_c]
+            q_e = Q_s[d_i * N_max + cols_c]
+            v_e = V_s[s_i * N_max + rows_c]
             kt = jnp.einsum("ehd,hdf->ehf", k_e, w_att[ri])
             score = (kt * q_e).sum(-1) * (mu[ri] / jnp.sqrt(d))
             # mask padded dst slots too: segments run over N_max here
