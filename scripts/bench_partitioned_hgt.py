@@ -102,9 +102,14 @@ def run_config(name: str, n_per_type: int, e_per_rel: int, skew: bool):
     (node_types, node_counts, edge_types, edge_index, xs,
      y) = build_hetero(n_per_type, e_per_rel, skew=skew)
     rel_specs = tuple(sorted((rel_key(e), e[0], e[2]) for e in edge_types))
+    # default: the runtime-optimal unrolled program (production
+    # trainers are step-dominated); HGT_STACKED=1 measures the
+    # compile-optimized scan path (tunnel compile 692s vs 1471s,
+    # step 173 vs 80 ms at this scale)
+    stacked = bool(os.environ.get("HGT_STACKED"))
     model = HGT(hidden=HIDDEN, out=16, num_layers=LAYERS,
                 node_types=tuple(sorted(node_types)), rel_specs=rel_specs,
-                out_type="v0", heads=HEADS, stacked_rels=True)
+                out_type="v0", heads=HEADS, stacked_rels=stacked)
     num_samples = {t: list(SAMPLES) for t in node_types}
     seeds = np.arange(B, dtype=np.int32)
     labels = jnp.asarray(y[:B])
@@ -163,10 +168,15 @@ def run_config(name: str, n_per_type: int, e_per_rel: int, skew: bool):
         seed_type="v0", learning_rate=1e-3, capacity_factor=2.0)
     with mesh:
         sh = NamedSharding(mesh, P("data"))
-        from tch_geometric_tpu.parallel.dist_hgt import put_stacked_rels
-        rel_specs = sorted((rel_key(e), e[0], e[2]) for e in edge_types)
-        rels_put = put_stacked_rels(rels, [r for r, _s, _d in rel_specs],
-                                    mesh, "data")
+        if stacked:
+            from tch_geometric_tpu.parallel.dist_hgt import put_stacked_rels
+            rel_specs2 = sorted((rel_key(e), e[0], e[2])
+                                for e in edge_types)
+            rels_put = put_stacked_rels(
+                rels, [r for r, _s, _d in rel_specs2], mesh, "data")
+        else:
+            rels_put = {r: put_partitioned(rels[r], mesh, P("data"))
+                        for r in rels}
         x_put = {t: jax.device_put(
             jnp.asarray(build_interleaved_features(xs[t], n_dev)), sh)
             for t in node_types}

@@ -900,8 +900,17 @@ def dist_hgt_sample(key, rels: Dict[str, PartitionedGraph], edge_types,
                     node_types: Optional[Sequence[str]] = None,
                     axis: str = "data", capacity_factor: float = 2.0,
                     num_rounds: Optional[int] = None,
-                    stacked: bool = True):
+                    stacked: bool = False):
     """Distributed HGT sampling (public entry point).
+
+    ``stacked=True`` runs the scan-over-relations program
+    (:class:`StackedRels`): HLO ops drop ~48% and the (tunnel) compile
+    halves (1471s -> 692s measured at hetero bench scale), at a measured
+    ~2.2x step-time cost (80 -> 173 ms — the scan serializes the
+    per-relation exchange bodies XLA otherwise overlaps).  Outputs are
+    bit-identical either way (uid-keyed draws; pinned).  Default False:
+    production loops are step-dominated; compile-bound contexts (tests,
+    dev iteration) opt in.
 
     Inputs mirror :func:`~..sampling.hgt.sample_hgt`; ``rels`` from
     :func:`build_partitioned_hetero`.  Returns ``(HGTSample-shaped tuple,
