@@ -65,6 +65,13 @@ def run(tag, mesh, kwargs, gspec, dspec):
         xput = jax.device_put(jnp.asarray(xi), NamedSharding(mesh, dspec))
         sput = jax.device_put(seeds, NamedSharding(mesh, dspec))
         lput = jax.device_put(labels, NamedSharding(mesh, dspec))
+        # TRUE host-fetch barriers on the big buffers: block_until_ready
+        # on remote axon buffers is not a barrier, and the first timed
+        # loop otherwise absorbs the async ~2 GB graph+feature transfer
+        # (documented harness artifact, BASELINE.md round 4)
+        int(np.asarray(gput.lindices[:1])[0])
+        int(np.asarray(gput.ell[:1, :1]).ravel()[0])             if gput.ell is not None else None
+        float(np.asarray(xput[:1, :1]).ravel()[0])
         t0 = time.time()
         state = init_fn(key, gput, xput, sput)
         state, loss, acc, ovf = train_step(state, key, gput, xput, sput,
@@ -72,17 +79,19 @@ def run(tag, mesh, kwargs, gspec, dspec):
         float(np.asarray(loss))
         print(f"{tag}: compile+first {time.time()-t0:.0f}s", flush=True)
         K = 20
-        outs = []
-        t0 = time.perf_counter()
-        for _ in range(K):
-            _s, loss, acc, ovf = train_step(state, key, gput, xput, sput,
-                                            lput)
-            outs.append(loss)
-        float(np.asarray(outs[-1]))
-        ind = (time.perf_counter() - t0) / K
-        print(f"{tag}: device step {ind*1e3:.1f} ms, overflow "
-              f"{int(np.asarray(ovf).sum())}, loss {float(loss):.3f}",
-              flush=True)
+        ind = None
+        for trial in range(2):        # second trial = steady state
+            outs = []
+            t0 = time.perf_counter()
+            for _ in range(K):
+                _s, loss, acc, ovf = train_step(state, key, gput, xput,
+                                                sput, lput)
+                outs.append(loss)
+            float(np.asarray(outs[-1]))
+            ind = (time.perf_counter() - t0) / K
+            print(f"{tag}: trial {trial} device step {ind*1e3:.1f} ms, "
+                  f"overflow {int(np.asarray(ovf).sum())}, "
+                  f"loss {float(loss):.3f}", flush=True)
         return ind
 
 

@@ -104,6 +104,10 @@ def project_hier(P, num_slices, *, feat_bytes=4):
     constants as the flat plan (tests/test_scaling_accounting.py family);
     bit-identity of the hier plan vs flat is pinned on the virtual 2x4
     mesh (tests/test_hier_partitioned.py)."""
+    # measured plan cost (scripts/bench_hier_p1.py, v5e, products
+    # scale, steady-state trial): flat P=1 18.9 ms vs hier (1,1) 19.1 ms
+    # -> the hier plan's on-device overhead is +0.2 ms (1.012x); the
+    # T_COMPUTE_MS basis therefore applies to the hier rows unchanged.
     S = num_slices
     C = P // S
     eb = exchange_bytes(C, feat_bytes=feat_bytes)   # per-device, C owners
