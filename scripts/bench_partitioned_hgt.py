@@ -102,14 +102,24 @@ def run_config(name: str, n_per_type: int, e_per_rel: int, skew: bool):
     (node_types, node_counts, edge_types, edge_index, xs,
      y) = build_hetero(n_per_type, e_per_rel, skew=skew)
     rel_specs = tuple(sorted((rel_key(e), e[0], e[2]) for e in edge_types))
-    # default: the runtime-optimal unrolled program (production
-    # trainers are step-dominated); HGT_STACKED=1 measures the
-    # compile-optimized scan path (tunnel compile 692s vs 1471s,
-    # step 173 vs 80 ms at this scale)
-    stacked = bool(os.environ.get("HGT_STACKED"))
+    # HGT_MODE selects the relation-program structure of the
+    # partitioned sampler: unrolled (r4 baseline, program linear in R),
+    # scan (lax.scan over relations: compile halves, step 2.2x), or
+    # fused (ONE batched exchange per phase carrying every relation:
+    # program ~constant in R AND batched collectives).  HGT_MODEL_STACKED
+    # independently picks the model's relation-loop structure (default:
+    # scan for scan/fused modes, unrolled otherwise).
+    mode = os.environ.get("HGT_MODE",
+                          "scan" if os.environ.get("HGT_STACKED")
+                          else "unrolled")
+    assert mode in ("unrolled", "scan", "fused"), mode
+    stacked = mode != "unrolled"
+    mstk_env = os.environ.get("HGT_MODEL_STACKED")
+    model_stacked = (stacked if mstk_env is None else mstk_env == "1")
+    print(f"mode={mode} model_stacked={model_stacked}", flush=True)
     model = HGT(hidden=HIDDEN, out=16, num_layers=LAYERS,
                 node_types=tuple(sorted(node_types)), rel_specs=rel_specs,
-                out_type="v0", heads=HEADS, stacked_rels=stacked)
+                out_type="v0", heads=HEADS, stacked_rels=model_stacked)
     num_samples = {t: list(SAMPLES) for t in node_types}
     seeds = np.arange(B, dtype=np.int32)
     labels = jnp.asarray(y[:B])
@@ -165,7 +175,8 @@ def run_config(name: str, n_per_type: int, e_per_rel: int, skew: bool):
                                     n_dev, node_counts=node_counts)
     init_fn, train_step, _ = make_partitioned_hgt_trainer(
         model, edge_types, num_samples, LAYERS, node_counts, mesh,
-        seed_type="v0", learning_rate=1e-3, capacity_factor=2.0)
+        seed_type="v0", learning_rate=1e-3, capacity_factor=2.0,
+        fused=(mode == "fused"))
     with mesh:
         sh = NamedSharding(mesh, P("data"))
         if stacked:

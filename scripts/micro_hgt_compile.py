@@ -47,7 +47,7 @@ def _sds(tree):
 
 def build_case(num_rels, num_hops, Pn, hidden, heads, samples,
                nodes_per_type=2000, edges_per_rel=12000, B=64,
-               stacked=False):
+               mode="unrolled"):
     """3 node types, `num_rels` relations round-robin over type pairs."""
     rng_np = np.random.default_rng(0)
     types = ["a", "b", "c"]
@@ -76,21 +76,22 @@ def build_case(num_rels, num_hops, Pn, hidden, heads, samples,
     model = HGT(hidden=hidden, out=8, num_layers=2,
                 node_types=tuple(sorted(node_counts)),
                 rel_specs=rel_specs, out_type="a", heads=heads,
-                stacked_rels=stacked)
+                stacked_rels=(mode != "unrolled"))
     init_fn, train_step, eval_step = make_partitioned_hgt_trainer(
         model, edge_types, {t: [samples] * num_hops for t in node_counts},
-        num_hops, node_counts, mesh, seed_type="a", capacity_factor=4.0)
+        num_hops, node_counts, mesh, seed_type="a", capacity_factor=4.0,
+        fused=(mode == "fused"))
     x_i = {t: build_interleaved_features(x_np[t], Pn) for t in node_counts}
-    if stacked:
+    if mode != "unrolled":
         rels = stack_partitioned_rels(rels, [r for r, _s, _d in rel_specs])
     return (mesh, init_fn, train_step, rels, x_i, seeds, labels)
 
 
 def measure(num_rels, num_hops, Pn, hidden, heads, samples, do_compile,
-            stacked=False):
+            mode="unrolled"):
     t0 = time.perf_counter()
     mesh, init_fn, train_step, rels, x_i, seeds, labels = build_case(
-        num_rels, num_hops, Pn, hidden, heads, samples, stacked=stacked)
+        num_rels, num_hops, Pn, hidden, heads, samples, mode=mode)
     t_build = time.perf_counter() - t0
 
     with mesh:
@@ -113,7 +114,7 @@ def measure(num_rels, num_hops, Pn, hidden, heads, samples, do_compile,
             lowered.compile()
             t_compile = time.perf_counter() - t0
     return dict(rels=num_rels, hops=num_hops, P=Pn, ops=n_ops,
-                stacked=stacked,
+                mode=mode,
                 bytes=len(text), top=ops.most_common(8),
                 t_build=t_build, t_lower=t_lower, t_compile=t_compile)
 
@@ -129,40 +130,37 @@ def main():
     ap.add_argument("--sweep", action="store_true",
                     help="scale sweep over rels/hops (no compile)")
     ap.add_argument("--compile", action="store_true")
-    ap.add_argument("--stacked", action="store_true",
-                    help="StackedRels scan-over-relations program")
+    ap.add_argument("--mode", default="unrolled",
+                    choices=["unrolled", "scan", "fused"],
+                    help="relation-program structure")
     ap.add_argument("--ab", action="store_true",
-                    help="A/B: unrolled vs stacked at the given config")
+                    help="A/B: unrolled vs scan vs fused at this config")
     args = ap.parse_args()
 
     if args.sweep:
         print(f"{'plan':>9} {'rels':>5} {'hops':>5} {'HLO ops':>9} "
               f"{'MB text':>8} {'lower s':>8}")
-        for stacked in (False, True):
+        for mode in ("unrolled", "scan", "fused"):
             for rels, hops in ((1, 2), (3, 2), (6, 2), (6, 3)):
                 r = measure(rels, hops, args.P, args.hidden, args.heads,
-                            args.samples, do_compile=False,
-                            stacked=stacked)
-                plan = "stacked" if stacked else "unrolled"
-                print(f"{plan:>9} {r['rels']:>5} {r['hops']:>5} "
+                            args.samples, do_compile=False, mode=mode)
+                print(f"{mode:>9} {r['rels']:>5} {r['hops']:>5} "
                       f"{r['ops']:>9} {r['bytes']/1e6:>8.1f} "
                       f"{r['t_lower']:>8.1f}", flush=True)
         return
 
     if args.ab:
-        for stacked in (False, True):
+        for mode in ("unrolled", "scan", "fused"):
             r = measure(args.rels, args.hops, args.P, args.hidden,
                         args.heads, args.samples, do_compile=True,
-                        stacked=stacked)
-            plan = "stacked" if stacked else "unrolled"
-            print(f"{plan}: {r['ops']} ops, {r['bytes']/1e6:.1f} MB, "
+                        mode=mode)
+            print(f"{mode}: {r['ops']} ops, {r['bytes']/1e6:.1f} MB, "
                   f"lower {r['t_lower']:.1f}s, CPU compile "
                   f"{r['t_compile']:.1f}s", flush=True)
         return
 
     r = measure(args.rels, args.hops, args.P, args.hidden, args.heads,
-                args.samples, do_compile=args.compile,
-                stacked=args.stacked)
+                args.samples, do_compile=args.compile, mode=args.mode)
     print(f"config: rels={r['rels']} hops={r['hops']} P={r['P']} "
           f"hidden={args.hidden} heads={args.heads} samples={args.samples}")
     print(f"StableHLO ops: {r['ops']}   text: {r['bytes']/1e6:.1f} MB")

@@ -244,7 +244,9 @@ def _scatter_route(payload, owner, valid, apply_fn, state, *, axis,
 
 def _owner_subset_at(stk: StackedRels, ri, keys, rows, M: int):
     """Stacked twin of :func:`_owner_subset`: arrays carry a trailing
-    relation axis, ``ri`` a (traced) relation index.
+    relation axis, ``ri`` a (traced) relation index — scalar (the scan
+    path) or a per-row ``(B,)`` vector (the fused path, where one batched
+    exchange carries requests of every relation together).
 
     Every fetch flattens (rows, rel) into ONE index (``rows * R + ri`` on
     the reshaped ``(Np*R, ...)`` view) so the accesses stay on the gather
@@ -253,6 +255,8 @@ def _owner_subset_at(stk: StackedRels, ri, keys, rows, M: int):
     measured 2.2x slower at hetero bench scale (174 vs ~80 ms/step)."""
     B = rows.shape[0]
     R = stk.ldeg.shape[-1]
+    ri = jnp.asarray(ri, jnp.int32)
+    ri_col = ri if ri.ndim == 0 else ri[:, None]   # broadcasts over (B, M)
     fidx = rows * R + ri
     if stk.ell is not None:
         W = stk.ell.shape[-1]
@@ -272,9 +276,9 @@ def _owner_subset_at(stk: StackedRels, ri, keys, rows, M: int):
         pos, ok = pos.reshape(-1, M), ok.reshape(-1, M)
         lptr = jnp.clip(stk.lstart.reshape(-1)[fidx][:, None] + pos, 0,
                         stk.lindices.shape[0] - 1)
-        src = stk.lindices.reshape(-1)[lptr * R + ri]
+        src = stk.lindices.reshape(-1)[lptr * R + ri_col]
         eptr = stk.gstart.reshape(-1)[fidx][:, None] + pos
-        ets = (stk.lts.reshape(-1)[lptr * R + ri]
+        ets = (stk.lts.reshape(-1)[lptr * R + ri_col]
                if stk.lts is not None
                else jnp.full((B, M), NAN_TIMESTAMP, jnp.int32))
     ncount = jnp.minimum(deg, M)
@@ -282,18 +286,31 @@ def _owner_subset_at(stk: StackedRels, ri, keys, rows, M: int):
 
 
 def _dist_hgt_device_stacked(key, stk: StackedRels, seeds, seed_ts, *,
-                             dev, meta, axis: str):
+                             dev, meta, axis: str, fused: bool = False):
     """Scan-over-relations twin of :func:`_dist_hgt_device` (VERDICT r4
     item 4): the per-relation exchange bodies compile ONCE as lax.scan
     bodies over :class:`StackedRels` instead of unrolling R times, cutting
     the program's op count from ~linear in #relations to ~constant.
+
+    ``fused=True`` goes further: instead of scanning one relation per
+    step (which serializes the exchange bodies XLA otherwise overlaps —
+    the measured 2.2x step-time cost of the scan), ALL relations' requests
+    ride ONE batched exchange per phase, each request row carrying its
+    relation index.  This is exact because everything that crosses
+    relations commutes: budget scores are integer fixed-point ``.add``
+    (order-independent), budget timestamps are ``.max``, and every draw is
+    keyed by fold(key, phase, ri, uid) — not by execution order.  Op count
+    stays ~constant in R (no scan, no unroll) and the step gets R-times
+    larger (better-utilized) collectives and owner-side batches instead of
+    R sequential small ones.
 
     Law: draws are keyed identically (fold(key, phase, ri) + global slot
     uid), so outputs are bit-identical to the unrolled path whenever
     neither plan overflows (pinned by tests/test_dist_hgt.py::
     test_stacked_matches_unrolled); capacities use the max slice width
     across relations (>= the unrolled per-relation capacities, so the
-    stacked plan can only overflow less).
+    stacked plan can only overflow less; the fused plan pools capacity
+    ``R * cap`` across relations and can only overflow less still).
     """
     (node_types, rel_specs, num_samples_t, num_hops, timerange,
      node_counts_t, seed_caps_t, capacity_factor, num_rounds, Pn) = meta
@@ -380,9 +397,9 @@ def _dist_hgt_device_stacked(key, stk: StackedRels, seeds, seed_ts, *,
         cap2 = cap_for(mp_max * M)
         lane = jnp.arange(mp_max, dtype=jnp.int32)
 
-        def body(carry, ri):
-            sc, bt, ovf_c = carry
-            src_i, dst_i = src_idx[ri], dst_idx[ri]
+        def pre(ri):
+            """Request-side per-relation prep (shared by scan and fused)."""
+            dst_i = dst_idx[ri]
             mp_r = m_arr[dst_i] // Pn
             off = dev * mp_r
             tgt = jax.lax.dynamic_slice(nn, (dst_i, off), (1, mp_max))[0]
@@ -394,6 +411,93 @@ def _dist_hgt_device_stacked(key, stk: StackedRels, seeds, seed_ts, *,
             gid = jnp.clip(tgt, 0, dmax)
             owner = (gid % Pn).astype(jnp.int32)
             local = (gid // Pn).astype(jnp.int32)
+            return local, uid, tts, tok, owner
+
+        def fused_update():
+            """ALL relations in ONE exchange pair: rows carry ri."""
+            ris = jnp.arange(R, dtype=jnp.int32)
+            local, uid, tts_r, tok, owner = jax.vmap(pre)(ris)  # (R, mp)
+            riB = jnp.broadcast_to(ris[:, None], (R, mp_max))
+            payload = jnp.stack([local, uid, tts_r, riB],
+                                axis=-1).reshape(R * mp_max, 4)
+
+            def owner_fn(recv):
+                Pm, C, _ = recv.shape
+                rows = jnp.clip(recv[..., 0].reshape(-1), 0, Npm - 1)
+                uids = recv[..., 1].reshape(-1).astype(jnp.uint32)
+                t_ts = recv[..., 2].reshape(-1)
+                ris_r = recv[..., 3].reshape(-1)
+                # keys == scan path's fold(fold(upd_key, ri), uid) per row
+                keys = jax.vmap(lambda r_, u: jax.random.fold_in(
+                    jax.random.fold_in(upd_key, r_), u))(
+                        ris_r.astype(jnp.uint32), uids)
+                srcs, _eptr, ets, ok, ncount = _owner_subset_at(
+                    stk, ris_r, keys, rows, M)
+                vts = jnp.where(ets == NAN_TIMESTAMP, t_ts[:, None], ets)
+                if timerange is not None:
+                    lo, hi = timerange
+                    ok = ok & ((vts == NAN_TIMESTAMP)
+                               | ((vts >= lo) & (vts < hi)))
+                srcs = jnp.where(ok, srcs, -1)
+                out = jnp.concatenate([srcs, vts, ncount[:, None]],
+                                      axis=-1)
+                return out.reshape(Pm, C, 2 * M + 1)
+
+            res, got, ovf = exchange_rounds(
+                payload, owner.reshape(-1), tok.reshape(-1), owner_fn,
+                axis=axis, num_parts=Pn, capacity=R * cap1,
+                num_rounds=num_rounds, ret_cols=2 * M + 1)
+            srcs = res[:, :M]                     # (R*mp_max, M)
+            vts = res[:, M: 2 * M]
+            ncount = res[:, 2 * M]
+            cok = (srcs >= 0) & got[:, None]
+
+            fsrc = srcs.reshape(-1)
+            fvts = vts.reshape(-1)
+            fnc = jnp.broadcast_to(ncount[:, None],
+                                   (R * mp_max, M)).reshape(-1)
+            fok = cok.reshape(-1)
+            fsrc_i = jnp.broadcast_to(
+                src_idx[riB.reshape(-1)][:, None],
+                (R * mp_max, M)).reshape(-1)
+            smax = jnp.maximum(counts_arr[fsrc_i] - 1, 0)
+            sgid = jnp.clip(fsrc, 0, smax)
+            sowner = (sgid % Pn).astype(jnp.int32)
+            slocal = (sgid // Pn).astype(jnp.int32)
+
+            def apply_fn(state, recv, in_round):
+                sc_, bt_ = state
+                loc = recv[..., 0].reshape(-1)
+                nc = recv[..., 1].reshape(-1)
+                ts_ = recv[..., 2].reshape(-1)
+                si = jnp.clip(recv[..., 3].reshape(-1), 0, T - 1)
+                ok = in_round.reshape(-1)
+                floc = si * Npm + jnp.clip(loc, 0, Npm - 1)
+                ok = ok & ~in_sample.reshape(-1)[floc]
+                idx = jnp.where(ok, floc, T * Npm)       # drop lane
+                contrib = jnp.where(ok, SCORE_ONE // jnp.maximum(nc, 1), 0)
+                sc_ = sc_.reshape(-1).at[idx].add(
+                    contrib, mode="drop").reshape(T, Npm)
+                bt_ = bt_.reshape(-1).at[idx].max(
+                    ts_, mode="drop").reshape(T, Npm)
+                return sc_, bt_
+
+            pay2 = jnp.stack([slocal, fnc, fvts, fsrc_i], axis=-1)
+            st, ovf2 = _scatter_route(
+                pay2, sowner, fok, apply_fn, (score, btime), axis=axis,
+                num_parts=Pn, capacity=R * cap2, num_rounds=num_rounds)
+            return st[0], st[1], ovf + ovf2
+
+        if fused:
+            sc_n, bt_n, ovf_new = fused_update()
+            score, btime = sc_n, bt_n
+            overflow = overflow + ovf_new
+            return
+
+        def body(carry, ri):
+            sc, bt, ovf_c = carry
+            src_i = src_idx[ri]
+            local, uid, tts, tok, owner = pre(ri)
             rk = rng.fold(upd_key, ri)
 
             def owner_fn(recv):
@@ -536,8 +640,8 @@ def _dist_hgt_device_stacked(key, stk: StackedRels, seeds, seed_ts, *,
         cap_m = cap_for(Cp_max * M)
         lane = jnp.arange(Cp_max, dtype=jnp.int32)
 
-        def adj_body(ovf_c, ri):
-            src_i, dst_i = src_idx[ri], dst_idx[ri]
+        def adj_pre(ri):
+            dst_i = dst_idx[ri]
             Cp_r = C_arr[dst_i] // Pn
             off = dev * Cp_r
             tgt = jax.lax.dynamic_slice(nodes_stk, (dst_i, off),
@@ -549,6 +653,11 @@ def _dist_hgt_device_stacked(key, stk: StackedRels, seeds, seed_ts, *,
             gid = jnp.clip(tgt, 0, dmax)
             owner = (gid % Pn).astype(jnp.int32)
             local = (gid // Pn).astype(jnp.int32)
+            return local, uid, tok, owner
+
+        def adj_body(ovf_c, ri):
+            src_i = src_idx[ri]
+            local, uid, tok, owner = adj_pre(ri)
             rk = rng.fold(key, 3, ri)
 
             def adj_owner_fn(recv):
@@ -598,9 +707,77 @@ def _dist_hgt_device_stacked(key, stk: StackedRels, seeds, seed_ts, *,
             out_eptr = eptr.reshape(-1)
             return ovf_c + ovf + ovf2, (out_rows, out_cols, out_eptr, keep)
 
-        ovf_new, (rows_s, cols_s, eptr_s, keep_s) = jax.lax.scan(
-            adj_body, jnp.zeros((), jnp.int32) + dv,
-            jnp.arange(R, dtype=jnp.int32))
+        def adj_fused():
+            """ALL relations' adjacency + membership probes in one
+            exchange pair each (rows carry ri / the src TYPE index)."""
+            ris = jnp.arange(R, dtype=jnp.int32)
+            local, uid, tok, owner = jax.vmap(adj_pre)(ris)  # (R, Cp_max)
+            riB = jnp.broadcast_to(ris[:, None], (R, Cp_max))
+            key3 = rng.fold(key, 3)
+            payload = jnp.stack([local, uid, riB],
+                                axis=-1).reshape(R * Cp_max, 3)
+
+            def adj_owner_fn(recv):
+                Pm, Cc, _ = recv.shape
+                rows = jnp.clip(recv[..., 0].reshape(-1), 0, Npm - 1)
+                uids = recv[..., 1].reshape(-1).astype(jnp.uint32)
+                ris_r = recv[..., 2].reshape(-1)
+                keys = jax.vmap(lambda r_, u: jax.random.fold_in(
+                    jax.random.fold_in(key3, r_), u))(
+                        ris_r.astype(jnp.uint32), uids)
+                srcs, eptr, _ets, ok, _nc = _owner_subset_at(
+                    stk, ris_r, keys, rows, M)
+                srcs = jnp.where(ok, srcs, -1)
+                return jnp.concatenate([srcs, eptr], axis=-1).reshape(
+                    Pm, Cc, 2 * M)
+
+            res, got, ovf = exchange_rounds(
+                payload, owner.reshape(-1), tok.reshape(-1), adj_owner_fn,
+                axis=axis, num_parts=Pn, capacity=R * cap_a,
+                num_rounds=num_rounds, ret_cols=2 * M)
+            srcs = res[:, :M]
+            eptr = res[:, M:]
+            cok = (srcs >= 0) & got[:, None]
+
+            fsrc = srcs.reshape(-1)
+            fok = cok.reshape(-1)
+            fsrc_i = jnp.broadcast_to(
+                src_idx[riB.reshape(-1)][:, None],
+                (R * Cp_max, M)).reshape(-1)
+            smax = jnp.maximum(counts_arr[fsrc_i] - 1, 0)
+            sgid = jnp.clip(fsrc, 0, smax)
+            sowner = (sgid % Pn).astype(jnp.int32)
+            slocal = (sgid // Pn).astype(jnp.int32)
+
+            def mem_owner_fn(recv):
+                Pm, Cc, _ = recv.shape
+                si = jnp.clip(recv[..., 1].reshape(-1), 0, T - 1)
+                floc = si * Npm + jnp.clip(recv[..., 0].reshape(-1), 0,
+                                           Npm - 1)
+                flag = in_sample.reshape(-1)[floc]
+                lid = local_id.reshape(-1)[floc]
+                return jnp.stack([flag.astype(jnp.int32), lid],
+                                 axis=-1).reshape(Pm, Cc, 2)
+
+            res2, got2, ovf2 = exchange_rounds(
+                jnp.stack([slocal, fsrc_i], axis=-1), sowner, fok,
+                mem_owner_fn, axis=axis, num_parts=Pn,
+                capacity=R * cap_m, num_rounds=num_rounds, ret_cols=2)
+            keep_f = fok & got2 & (res2[:, 0] != 0)
+            rows_f = jnp.where(keep_f, res2[:, 1], 0)
+            cols_f = jnp.broadcast_to(
+                uid.reshape(R * Cp_max)[:, None],
+                (R * Cp_max, M)).reshape(-1)
+            sh = (R, Cp_max * M)
+            return (ovf + ovf2, rows_f.reshape(sh), cols_f.reshape(sh),
+                    eptr.reshape(sh), keep_f.reshape(sh))
+
+        if fused:
+            (ovf_new, rows_s, cols_s, eptr_s, keep_s) = adj_fused()
+        else:
+            ovf_new, (rows_s, cols_s, eptr_s, keep_s) = jax.lax.scan(
+                adj_body, jnp.zeros((), jnp.int32) + dv,
+                jnp.arange(R, dtype=jnp.int32))
         overflow = overflow + ovf_new
         for ri, (r, src, dst) in enumerate(rel_specs):
             C = base[dst][-1]
@@ -624,10 +801,15 @@ def _dist_hgt_device_stacked(key, stk: StackedRels, seeds, seed_ts, *,
             overflow)
 
 
-def _dist_hgt_device(key, rels, seeds, seed_ts, *, dev, meta, axis: str):
+def _dist_hgt_device(key, rels, seeds, seed_ts, *, dev, meta, axis: str,
+                     fused: bool = True):
+    """Engine dispatch: a per-relation dict runs the unrolled program; a
+    :class:`StackedRels` runs the relation-fused program (default) or the
+    scan-over-relations program (``fused=False`` — kept for A/B: it was
+    VERDICT r4 item 4's first fix, measured 2.2x slower per step)."""
     if isinstance(rels, StackedRels):
         return _dist_hgt_device_stacked(key, rels, seeds, seed_ts, dev=dev,
-                                        meta=meta, axis=axis)
+                                        meta=meta, axis=axis, fused=fused)
     return _dist_hgt_device_unrolled(key, rels, seeds, seed_ts, dev=dev,
                                      meta=meta, axis=axis)
 
@@ -900,17 +1082,25 @@ def dist_hgt_sample(key, rels: Dict[str, PartitionedGraph], edge_types,
                     node_types: Optional[Sequence[str]] = None,
                     axis: str = "data", capacity_factor: float = 2.0,
                     num_rounds: Optional[int] = None,
-                    stacked: bool = False):
+                    stacked=False):
     """Distributed HGT sampling (public entry point).
 
-    ``stacked=True`` runs the scan-over-relations program
-    (:class:`StackedRels`): HLO ops drop ~48% and the (tunnel) compile
-    halves (1471s -> 692s measured at hetero bench scale), at a measured
-    ~2.2x step-time cost (80 -> 173 ms — the scan serializes the
-    per-relation exchange bodies XLA otherwise overlaps).  Outputs are
-    bit-identical either way (uid-keyed draws; pinned).  Default False:
-    production loops are step-dominated; compile-bound contexts (tests,
-    dev iteration) opt in.
+    ``stacked`` selects the program structure over relations:
+
+    * ``False`` — unrolled: every relation's exchange bodies inline
+      (program size linear in R).
+    * ``True`` / ``"fused"`` — :class:`StackedRels` with ALL relations'
+      requests riding ONE batched exchange per phase (rows carry their
+      relation index): program size ~constant in R AND the collectives
+      are R-times larger/fewer instead of serialized.
+    * ``"scan"`` — :class:`StackedRels` with a lax.scan over relations
+      (VERDICT r4 item 4's first fix; kept for A/B — ~48% fewer HLO ops
+      than unrolled but a measured ~2.2x step cost from serializing the
+      bodies XLA otherwise overlaps).
+
+    Outputs are bit-identical across all three (draws keyed by
+    fold(key, phase, ri) + global slot uid; pinned by
+    tests/test_dist_hgt.py::test_stacked_matches_unrolled).
 
     Inputs mirror :func:`~..sampling.hgt.sample_hgt`; ``rels`` from
     :func:`build_partitioned_hetero`.  Returns ``(HGTSample-shaped tuple,
@@ -952,7 +1142,9 @@ def dist_hgt_sample(key, rels: Dict[str, PartitionedGraph], edge_types,
             tuple(sorted(seed_caps.items())), float(capacity_factor),
             resolve_num_rounds(num_rounds, Pn), Pn)
 
-    run = _dist_hgt_fn(mesh, axis, meta, bool(stacked))
+    assert stacked in (False, True, "fused", "scan"), stacked
+    run = _dist_hgt_fn(mesh, axis, meta, bool(stacked),
+                       stacked != "scan")
     from .multihost import put_partitioned
     with mesh:
         if stacked:
@@ -977,7 +1169,8 @@ def dist_hgt_sample(key, rels: Dict[str, PartitionedGraph], edge_types,
 
 
 @functools.lru_cache(maxsize=64)
-def _dist_hgt_fn(mesh, axis, meta, stacked: bool = False):
+def _dist_hgt_fn(mesh, axis, meta, stacked: bool = False,
+                 fused: bool = True):
     repl, shard = P(), P(axis)
 
     @jax.jit
@@ -990,7 +1183,7 @@ def _dist_hgt_fn(mesh, axis, meta, stacked: bool = False):
         seed_ts = {t: v[0] for t, v in seed_ts.items()}
         (nodes, node_ts, node_valid, rows, cols, eptr, ev,
          ovf) = _dist_hgt_device(key, rels, seeds, seed_ts, dev=dev,
-                                 meta=meta, axis=axis)
+                                 meta=meta, axis=axis, fused=fused)
         add_dev = lambda d: {k: v[None] for k, v in d.items()}
         return (add_dev(nodes), add_dev(node_ts), add_dev(node_valid),
                 add_dev(rows), add_dev(cols), add_dev(eptr), add_dev(ev),

@@ -117,6 +117,7 @@ def make_partitioned_hgt_trainer(
     timerange=None,
     capacity_factor: float = 2.0,
     num_rounds: Optional[int] = None,
+    fused: bool = True,
 ):
     """Typed training with NOTHING graph-sized replicated (VERDICT r3 #3).
 
@@ -148,6 +149,11 @@ def make_partitioned_hgt_trainer(
     dict type -> interleave-sharded feature table (sharded over ``axis``);
     ``seeds (B,)`` global ids of ``seed_type`` (B divisible by mesh size),
     replicated; ``labels (B,)`` replicated.
+
+    When ``rels`` is a :class:`~.dist_hgt.StackedRels`, ``fused`` selects
+    the sampler engine: True (default) batches every relation's requests
+    into one exchange per phase (op count ~constant in R, R-times larger
+    collectives); False scans one relation per step (A/B baseline).
     """
     import functools
 
@@ -192,7 +198,7 @@ def make_partitioned_hgt_trainer(
                 for t in node_types}
         (nodes, _nts, node_valid, rows, cols, _eptr, ev,
          ovf) = _dist_hgt_device(key, rels, seeds_d, ts_d, dev=dev,
-                                 meta=meta, axis=axis)
+                                 meta=meta, axis=axis, fused=fused)
         feats = {}
         for t in node_types:
             n_rows = x_shards[t].shape[0] * Pn

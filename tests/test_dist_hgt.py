@@ -289,14 +289,15 @@ def test_partitioned_hgt_trainer_invariance_full():
 
 
 def test_stacked_matches_unrolled(hetero):
-    """VERDICT r4 item 4: the scan-over-relations program (StackedRels)
-    returns BIT-IDENTICAL samples to the unrolled per-relation program
-    (draws keyed by fold(key, phase, ri) + global slot uid on both paths),
-    at P=1 and P=2, overflow 0 on both."""
+    """VERDICT r4 item 4: BOTH StackedRels programs — the relation-FUSED
+    batched-exchange engine (stacked=True) and the scan-over-relations
+    engine (stacked="scan") — return BIT-IDENTICAL samples to the
+    unrolled per-relation program (draws keyed by fold(key, phase, ri) +
+    global slot uid on every path), at P=1 and P=2, overflow 0 on all."""
     key = jax.random.key(9)
     for Pn in (1, 2):
         outs = {}
-        for stacked in (False, True):
+        for stacked in (False, True, "scan"):
             (nodes, node_ts, node_valid, rows, cols, eptr, ev), ovf = _run(
                 hetero, Pn, key, stacked=stacked)
             assert int(np.asarray(ovf).sum()) == 0, (Pn, stacked)
@@ -311,6 +312,8 @@ def test_stacked_matches_unrolled(hetero):
                 res[f"c_{r}"] = np.where(e, np.asarray(cols[r]), -1)
                 res[f"e_{r}"] = np.where(e, np.asarray(eptr[r]), -1)
             outs[stacked] = res
-        for k in outs[False]:
-            np.testing.assert_array_equal(outs[False][k], outs[True][k],
-                                          err_msg=f"P={Pn} key={k}")
+        for variant in (True, "scan"):
+            for k in outs[False]:
+                np.testing.assert_array_equal(
+                    outs[False][k], outs[variant][k],
+                    err_msg=f"P={Pn} variant={variant} key={k}")
