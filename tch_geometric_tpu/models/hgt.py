@@ -119,13 +119,21 @@ class HGTConv(nn.Module):
         return res
 
     def _stacked_messages(self, x, edges, K, Q, V, out, H, d):
-        """Relation loop as ONE lax.scan body over stacked edges + stacked
-        per-relation parameters (``stacked_rels=True``) — the model-side
-        half of the partitioned-HGT compile shrink (VERDICT r4 item 4).
-        Same math per relation as the unrolled branch (per-(rel, dst)
-        segment softmax), different parameter layout (ONE (R, H, d, d)
+        """Relation-BATCHED messages (``stacked_rels=True``) — the
+        model-side half of the partitioned-HGT compile shrink (VERDICT r4
+        item 4, reworked in round 5): every relation's gathers,
+        projections and segment ops run as ONE batched computation over
+        ``(R, E_max)`` stacked edges + ``(R, H, d, d)`` stacked
+        parameters.  Op count is ~constant in R like the previous
+        lax.scan form, but nothing is serialized: the two einsums are
+        single R-times-larger MXU contractions and the per-(rel, dst)
+        softmax/sum run as flat segment ops over a ``R*T*N_max`` /
+        ``T*N_max`` id space.  Same math per relation as the unrolled
+        branch (per-(rel, dst) segment softmax — segments never mix
+        relations), different parameter layout (ONE (R, H, d, d)
         ``w_att``/``w_msg`` and (R, H) ``mu`` instead of per-rel names), so
-        checkpoints are not interchangeable across the flag.
+        checkpoints are not interchangeable across the flag (but ARE
+        unchanged vs the scan form this replaces).
         """
         specs = [(r, s, t) for (r, s, t) in self.rel_specs
                  if r in edges and edges[r][0].shape[0] > 0]
@@ -163,40 +171,35 @@ class HGTConv(nn.Module):
         K_s = jnp.concatenate([padN(K[t]) for t in self.node_types])
         Q_s = jnp.concatenate([padN(Q[t]) for t in self.node_types])
         V_s = jnp.concatenate([padN(V[t]) for t in self.node_types])
+
+        T = len(self.node_types)
+        n_src = N_arr[src_idx]                                  # (R,)
+        n_dst = N_arr[dst_idx]
+        rows_c = jnp.clip(rows_s, 0, (n_src - 1)[:, None])      # (R, E)
+        cols_c = jnp.clip(cols_s, 0, (n_dst - 1)[:, None])
+        idx_src = (src_idx[:, None] * N_max + rows_c).reshape(-1)
+        idx_dst = (dst_idx[:, None] * N_max + cols_c).reshape(-1)
+        k_e = K_s[idx_src].reshape(R, E_max, H, d)
+        q_e = Q_s[idx_dst].reshape(R, E_max, H, d)
+        v_e = V_s[idx_src].reshape(R, E_max, H, d)
+        kt = jnp.einsum("rehd,rhdf->rehf", k_e, w_att)
+        score = (kt * q_e).sum(-1) * (mu[:, None, :] / jnp.sqrt(d))
+        # mask padded dst slots too: segments run over N_max per type
+        ok = val_s & (cols_s < n_dst[:, None])                  # (R, E)
+        seg_att = (jnp.arange(R, dtype=jnp.int32)[:, None] * (T * N_max)
+                   + dst_idx[:, None] * N_max + cols_c)
+        att = segment_softmax(score.reshape(R * E_max, H),
+                              seg_att.reshape(-1), R * T * N_max,
+                              mask=ok.reshape(-1)).reshape(R, E_max, H)
+        msg = jnp.einsum("rehd,rhdf->rehf", v_e, w_msg)
+        msg = msg * att[..., None]
+        msg = jnp.where(ok[..., None, None], msg, 0.0)
         out_dtype = next(iter(out.values())).dtype
-        out_s = jnp.zeros((len(self.node_types), N_max, H, d), out_dtype)
-        if self.psum_axis is not None:
-            # stamp the scan carry device-varying (the body consumes the
-            # device's edge block) so shard_map's varying-axis typing of
-            # the carry matches input and output
-            out_s = out_s + jnp.asarray(
-                jax.lax.axis_index(self.psum_axis), out_dtype) * 0
-
-        def body(acc, inp):
-            ri, s_i, d_i, rows, cols, valid = inp
-            n_src = N_arr[s_i]
-            n_dst = N_arr[d_i]
-            rows_c = jnp.clip(rows, 0, n_src - 1)
-            cols_c = jnp.clip(cols, 0, n_dst - 1)
-            k_e = K_s[s_i * N_max + rows_c]
-            q_e = Q_s[d_i * N_max + cols_c]
-            v_e = V_s[s_i * N_max + rows_c]
-            kt = jnp.einsum("ehd,hdf->ehf", k_e, w_att[ri])
-            score = (kt * q_e).sum(-1) * (mu[ri] / jnp.sqrt(d))
-            # mask padded dst slots too: segments run over N_max here
-            ok = valid & (cols < n_dst)
-            att = segment_softmax(score, cols_c, N_max, mask=ok)
-            msg = jnp.einsum("ehd,hdf->ehf", v_e, w_msg[ri])
-            msg = msg * att[..., None]
-            msg = jnp.where(ok[:, None, None], msg, 0.0)
-            agg = segment_sum(msg, cols_c, N_max).astype(acc.dtype)
-            return acc.at[d_i].add(agg), None
-
-        out_s, _ = jax.lax.scan(
-            body, out_s,
-            (jnp.arange(R, dtype=jnp.int32), src_idx, dst_idx,
-             rows_s, cols_s, val_s))
-        return {t: out[t] + out_s[t_index[t], : x[t].shape[0]]
+        agg = segment_sum(msg.reshape(R * E_max, H, d),
+                          (dst_idx[:, None] * N_max + cols_c).reshape(-1),
+                          T * N_max).astype(out_dtype)
+        agg = agg.reshape(T, N_max, H, d)
+        return {t: out[t] + agg[t_index[t], : x[t].shape[0]]
                 for t in self.node_types}
 
 
